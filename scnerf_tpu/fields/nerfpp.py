@@ -1,0 +1,181 @@
+"""NeRF++ scene representation: foreground + inverted-sphere background.
+
+Rebuild of ``MLPNet`` (``/root/reference/nerfplusplus/nerf_network.py:70-142``)
+and ``NerfNet``/``NerfNetWithAutoExpo``
+(``/root/reference/nerfplusplus/ddp_model.py:48-188``):
+
+- fg net consumes 3D points inside the unit sphere; bg net consumes the
+  4D ``(x', y', z', 1/r)`` inverted-sphere parameterization.
+- sigma activation is ``abs`` (``nerf_network.py:133-134``), rgb is sigmoid.
+- compositing: fg transmittance leftover ``bg_lambda`` scales the bg render
+  (``ddp_model.py:100-133``); bg samples are processed in flipped depth order.
+- auto-exposure: per-image learnable ``(scale_raw, shift)``; effective scale
+  is ``|scale_raw| + 0.5`` (``ddp_model.py:180-187``). Stored as an ``(N, 2)``
+  array indexed by image id instead of a name-keyed ParameterDict.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from scnerf_tpu.core.pytree import pytree_dataclass, static_field
+from scnerf_tpu.fields.encoding import EncodingConfig, positional_encoding
+from scnerf_tpu.fields.mlp import dense, init_dense
+from scnerf_tpu.geometry.sphere import HUGE_NUMBER, TINY_NUMBER, depth2pts_outside
+
+
+@pytree_dataclass
+class NerfPPConfig:
+    depth: int = static_field(default=8)
+    width: int = static_field(default=256)
+    skips: tuple = static_field(default=(4,))
+    use_viewdirs: bool = static_field(default=True)
+    max_freq_log2: int = static_field(default=10)  # N_freqs for positions
+    max_freq_log2_viewdirs: int = static_field(default=4)
+    compute_dtype: str = static_field(default="float32")
+
+    def pos_encoding(self, input_dim: int) -> EncodingConfig:
+        return EncodingConfig(input_dim=input_dim, n_freqs=self.max_freq_log2)
+
+    @property
+    def view_encoding(self) -> EncodingConfig:
+        return EncodingConfig(input_dim=3, n_freqs=self.max_freq_log2_viewdirs)
+
+    @property
+    def cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+
+def init_mlpnet(key, cfg: NerfPPConfig, input_dim: int):
+    """One MLPNet (fg or bg flavor, chosen by ``input_dim`` 3 or 4)."""
+    input_ch = cfg.pos_encoding(input_dim).out_dim
+    view_ch = cfg.view_encoding.out_dim
+    keys = jax.random.split(key, cfg.depth + 4)
+    base = []
+    dim = input_ch
+    for i in range(cfg.depth):
+        base.append(init_dense(keys[i], dim, cfg.width, "relu"))
+        dim = cfg.width
+        if i in cfg.skips and i != cfg.depth - 1:
+            dim += input_ch
+    return {
+        "base": base,
+        "sigma": init_dense(keys[cfg.depth], dim, 1, "linear"),
+        "remap": init_dense(keys[cfg.depth + 1], dim, 256, "linear"),
+        "rgb0": init_dense(keys[cfg.depth + 2], 256 + view_ch, cfg.width // 2, "relu"),
+        "rgb1": init_dense(keys[cfg.depth + 3], cfg.width // 2, 3, "linear"),
+    }
+
+
+def mlpnet_apply(params, cfg: NerfPPConfig, pts_enc, views_enc):
+    """Returns (rgb in [0,1] ``(..., 3)``, sigma >= 0 ``(...,)``)."""
+    cd = cfg.cdtype
+    h = jax.nn.relu(dense(params["base"][0], pts_enc, cd))
+    for i in range(cfg.depth - 1):
+        if i in cfg.skips:
+            h = jnp.concatenate([pts_enc.astype(h.dtype), h], axis=-1)
+        h = jax.nn.relu(dense(params["base"][i + 1], h, cd))
+    sigma = jnp.abs(dense(params["sigma"], h, cd))[..., 0]
+    remap = dense(params["remap"], h, cd)
+    hv = jnp.concatenate([remap, views_enc.astype(remap.dtype)], axis=-1)
+    hv = jax.nn.relu(dense(params["rgb0"], hv, cd))
+    rgb = jax.nn.sigmoid(dense(params["rgb1"], hv, cd))
+    return rgb, sigma
+
+
+def init_nerfpp_net(key, cfg: NerfPPConfig, n_images: int = 0, autoexpo: bool = False):
+    k_fg, k_bg = jax.random.split(key)
+    params = {
+        "fg": init_mlpnet(k_fg, cfg, input_dim=3),
+        "bg": init_mlpnet(k_bg, cfg, input_dim=4),
+    }
+    if autoexpo:
+        # (scale_raw=0.5, shift=0) per image (ddp_model.py:169).
+        ae = jnp.tile(jnp.asarray([[0.5, 0.0]], jnp.float32), (n_images, 1))
+        params["autoexpo"] = ae
+    return params
+
+
+def nerfpp_forward(
+    params,
+    cfg: NerfPPConfig,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    fg_z_max: jnp.ndarray,
+    fg_z_vals: jnp.ndarray,
+    bg_z_vals: jnp.ndarray,
+):
+    """Joint fg/bg render of one cascade level (``ddp_model.py:74-143``).
+
+    Args:
+      ray_o, ray_d: ``(N, 3)``.
+      fg_z_max: ``(N,)`` depth of the unit-sphere exit point.
+      fg_z_vals: ``(N, S_fg)`` fg sample depths.
+      bg_z_vals: ``(N, S_bg)`` bg inverse depths in [0, 1].
+    Returns:
+      dict: rgb, fg_weights, bg_weights, fg_rgb, fg_depth, bg_rgb, bg_depth,
+      bg_lambda.
+    """
+    ray_d_norm = jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    viewdirs = ray_d / ray_d_norm
+    views_enc = positional_encoding(viewdirs, cfg.view_encoding)
+
+    # ---- foreground
+    fg_pts = ray_o[..., None, :] + fg_z_vals[..., None] * ray_d[..., None, :]
+    fg_enc = positional_encoding(fg_pts, cfg.pos_encoding(3))
+    fg_views = jnp.broadcast_to(views_enc[..., None, :], fg_enc.shape[:-1] + (views_enc.shape[-1],))
+    fg_rgb, fg_sigma = mlpnet_apply(params["fg"], cfg, fg_enc, fg_views)
+
+    fg_dists = fg_z_vals[..., 1:] - fg_z_vals[..., :-1]
+    fg_dists = ray_d_norm * jnp.concatenate(
+        [fg_dists, (fg_z_max[..., None] - fg_z_vals[..., -1:])], axis=-1
+    )
+    fg_alpha = 1.0 - jnp.exp(-fg_sigma * fg_dists)
+    T = jnp.cumprod(1.0 - fg_alpha + TINY_NUMBER, axis=-1)
+    bg_lambda = T[..., -1]
+    T = jnp.concatenate([jnp.ones_like(T[..., :1]), T[..., :-1]], axis=-1)
+    fg_weights = fg_alpha * T
+    fg_rgb_map = jnp.sum(fg_weights[..., None] * fg_rgb, axis=-2)
+    fg_depth_map = jnp.sum(fg_weights * fg_z_vals, axis=-1)
+
+    # ---- background (inverted sphere; processed far -> near)
+    bg_pts, _ = depth2pts_outside(
+        jnp.broadcast_to(ray_o[..., None, :], bg_z_vals.shape + (3,)),
+        jnp.broadcast_to(ray_d[..., None, :], bg_z_vals.shape + (3,)),
+        bg_z_vals,
+    )
+    bg_enc = positional_encoding(bg_pts, cfg.pos_encoding(4))
+    bg_enc = jnp.flip(bg_enc, axis=-2)
+    bg_views = jnp.broadcast_to(views_enc[..., None, :], bg_enc.shape[:-1] + (views_enc.shape[-1],))
+    bg_z_flip = jnp.flip(bg_z_vals, axis=-1)  # 1 -> 0
+    bg_dists = bg_z_flip[..., :-1] - bg_z_flip[..., 1:]
+    bg_dists = jnp.concatenate(
+        [bg_dists, jnp.full_like(bg_dists[..., :1], HUGE_NUMBER)], axis=-1
+    )
+    bg_rgb, bg_sigma = mlpnet_apply(params["bg"], cfg, bg_enc, bg_views)
+    bg_alpha = 1.0 - jnp.exp(-bg_sigma * bg_dists)
+    T = jnp.cumprod(1.0 - bg_alpha + TINY_NUMBER, axis=-1)[..., :-1]
+    T = jnp.concatenate([jnp.ones_like(T[..., :1]), T], axis=-1)
+    bg_weights = bg_alpha * T
+    bg_rgb_map = jnp.sum(bg_weights[..., None] * bg_rgb, axis=-2)
+    bg_depth_map = jnp.sum(bg_weights * bg_z_flip, axis=-1)
+
+    bg_rgb_map = bg_lambda[..., None] * bg_rgb_map
+    bg_depth_map = bg_lambda * bg_depth_map
+    rgb_map = fg_rgb_map + bg_rgb_map
+    return {
+        "rgb": rgb_map,
+        "fg_weights": fg_weights,
+        "bg_weights": bg_weights,
+        "fg_rgb": fg_rgb_map,
+        "fg_depth": fg_depth_map,
+        "bg_rgb": bg_rgb_map,
+        "bg_depth": bg_depth_map,
+        "bg_lambda": bg_lambda,
+    }
+
+
+def autoexpo_params(params, img_idx):
+    """Effective (scale, shift) for an image (``ddp_model.py:183-186``)."""
+    ae = params["autoexpo"][img_idx]
+    return jnp.abs(ae[..., 0]) + 0.5, ae[..., 1]

@@ -1,0 +1,88 @@
+"""Optimizer construction.
+
+Replaces ``CustomAdamOptimizer``/``f_custom_adam``
+(``/root/reference/NeRF/create_nerf.py:199-336``,
+``/root/reference/nerfplusplus/custom_optim.py``): plain Adam, except L2
+weight decay is folded into the *gradient* (pre-moment, classic Adam-L2, not
+AdamW — ``create_nerf.py:238-239``) for ONLY the non-linear camera noise
+parameters (ray-origin grid, ray-direction grid, distortion noise). Expressed
+as an optax chain with a pytree mask instead of the reference's
+"last-K-params-by-name-substring" counting.
+
+Also the exponential LR schedule ``lr * 0.1^(step / decay_steps)``
+(``run_nerf.py:615-621``; NeRF++ variant ``ddp_train_nerf.py:386-392``).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+
+def exp_decay_schedule(lr_init: float, decay_factor: float, decay_steps: float):
+    """``lr(step) = lr_init * decay_factor^(step / decay_steps)``."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        return lr_init * (decay_factor ** (step / decay_steps))
+
+    return schedule
+
+
+def _camera_mask(params: Any, true_fields: tuple) -> Any:
+    """Boolean mask pytree: True on the named Camera fields, False elsewhere."""
+    from scnerf_tpu.camera.model import Camera
+
+    def mark(node):
+        if isinstance(node, Camera):
+            kw = {
+                f: (f in true_fields)
+                for f in (
+                    "intrinsics_init", "extrinsics_init", "distortion_init",
+                    "intrinsics_noise", "extrinsics_noise", "distortion_noise",
+                    "ray_o_grid", "ray_d_grid",
+                )
+            }
+            return node.replace(**kw)
+        return jax.tree.map(lambda _: False, node)
+
+    return jax.tree_util.tree_map(mark, params, is_leaf=lambda n: isinstance(n, Camera))
+
+
+def noise_decay_mask(params: Any) -> Any:
+    """True for leaves that receive weight decay: the camera's ray_o_grid /
+    ray_d_grid / distortion_noise (the reference's rayo/rayd/dist params,
+    ``create_nerf.py:219-226``)."""
+    return _camera_mask(params, ("ray_o_grid", "ray_d_grid", "distortion_noise"))
+
+
+def frozen_mask(params: Any) -> Any:
+    """True for leaves that must NEVER update (the camera's frozen initials —
+    ``requires_grad=False`` params in the reference)."""
+    return _camera_mask(params, ("intrinsics_init", "extrinsics_init", "distortion_init"))
+
+
+def make_optimizer(
+    lr_init: float,
+    decay_steps: float,
+    decay_factor: float = 0.1,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    params_example: Any = None,
+) -> optax.GradientTransformation:
+    """Adam + exp decay + masked L2-in-grad decay + frozen-initials zeroing."""
+    schedule = exp_decay_schedule(lr_init, decay_factor, decay_steps)
+    chain = []
+    if weight_decay > 0.0 and params_example is not None:
+        mask = noise_decay_mask(params_example)
+        chain.append(optax.masked(optax.add_decayed_weights(weight_decay), mask))
+    chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    chain.append(optax.scale_by_learning_rate(schedule))
+    if params_example is not None:
+        fmask = frozen_mask(params_example)
+        chain.append(optax.masked(optax.set_to_zero(), fmask))
+    return optax.chain(*chain)

@@ -1,0 +1,142 @@
+"""End-to-end training tests: the 'minimum slice' of SURVEY.md section 7 —
+loader -> rays -> stratified -> MLP -> composite -> inverse-CDF -> loss ->
+optax -> psnr — plus curriculum and optimizer-mask behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scnerf_tpu.camera import CameraConfig, OPENGL, get_intrinsic, init_camera
+from scnerf_tpu.fields.nerf import NeRFConfig, init_nerf_mlp
+from scnerf_tpu.geometry import axis_angle_to_rotation, embed_rotation_44
+from scnerf_tpu.render.renderer import RenderConfig
+from scnerf_tpu.train.curriculum import Curriculum
+from scnerf_tpu.train.optim import make_optimizer, noise_decay_mask, frozen_mask
+from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
+
+
+def synthetic_scene(H=16, W=16, n_images=2):
+    """A fixed-camera synthetic target: rays through a 'sphere' density give a
+    smooth deterministic image we can overfit."""
+    cfg = CameraConfig(H=H, W=W, grid_size=4, convention=OPENGL)
+    K = np.array([[12.0, 0, W / 2, 0], [0, 12.0, H / 2, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+    E = np.broadcast_to(np.eye(4), (n_images, 4, 4)).copy()
+    E[:, 2, 3] = 4.0  # camera at z=4 looking down -z (OpenGL)
+    E[1, 0, 3] = 0.5
+    cam = init_camera(K, E, cfg)
+    py, px = np.mgrid[0:H, 0:W]
+    # Smooth target image.
+    target = np.stack(
+        [
+            0.5 + 0.5 * np.sin(px / W * np.pi),
+            0.5 + 0.5 * np.cos(py / H * np.pi),
+            np.full_like(px, 0.25, dtype=np.float64),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    return cam, px.reshape(-1).astype(np.float32), py.reshape(-1).astype(np.float32), target
+
+
+def build(step_kwargs=None, opt_kwargs=None, cur=None, with_camera=True):
+    model_cfg = NeRFConfig(depth=3, width=32, skips=(1,), multires=4, multires_views=2)
+    render_cfg = RenderConfig(n_samples=8, n_importance=8, perturb=True)
+    kw = dict(lr_init=5e-3, lr_decay_steps=1e6, near=2.0, far=6.0)
+    kw.update(step_kwargs or {})
+    train_cfg = TrainConfig(**kw)
+    cur = cur or Curriculum()
+    cam, px, py, target = synthetic_scene()
+    key = jax.random.key(0)
+    params = {
+        "coarse": init_nerf_mlp(key, model_cfg),
+        "fine": init_nerf_mlp(jax.random.fold_in(key, 1), model_cfg),
+    }
+    if with_camera:
+        params["camera"] = cam
+    tx = make_optimizer(train_cfg.lr_init, train_cfg.lr_decay_steps,
+                        params_example=params, **(opt_kwargs or {}))
+    state = create_train_state(params, tx)
+    step = make_train_step(model_cfg, render_cfg, train_cfg, cur, tx, donate=False)
+    batch = {
+        "px": jnp.asarray(px),
+        "py": jnp.asarray(py),
+        "img_idx": jnp.zeros(px.shape[0], jnp.int32),
+        "target": jnp.asarray(target, jnp.float32),
+    }
+    return state, step, batch
+
+
+class TestEndToEnd:
+    def test_loss_decreases_overfit(self):
+        state, step, batch = build()
+        key = jax.random.key(7)
+        first = None
+        for i in range(60):
+            state, metrics = step(state, batch, jax.random.fold_in(key, i))
+            if i == 0:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first * 0.5, (first, last)
+        assert float(metrics["psnr"]) > 10.0
+
+    def test_frozen_initials_never_move(self):
+        state, step, batch = build()
+        init0 = np.array(state.params["camera"].intrinsics_init)
+        ext0 = np.array(state.params["camera"].extrinsics_init)
+        key = jax.random.key(8)
+        for i in range(3):
+            state, _ = step(state, batch, jax.random.fold_in(key, i))
+        np.testing.assert_array_equal(np.array(state.params["camera"].intrinsics_init), init0)
+        np.testing.assert_array_equal(np.array(state.params["camera"].extrinsics_init), ext0)
+
+    def test_curriculum_gates_camera_updates(self):
+        cur = Curriculum(add_ie=2, add_od=1000)
+        state, step, batch = build(cur=cur)
+        key = jax.random.key(9)
+        # Steps 0,1: ie locked -> no noise movement.
+        for i in range(2):
+            state, _ = step(state, batch, jax.random.fold_in(key, i))
+        cam = state.params["camera"]
+        np.testing.assert_array_equal(np.array(cam.intrinsics_noise), np.zeros(4))
+        np.testing.assert_array_equal(np.array(cam.ray_o_grid), np.zeros_like(cam.ray_o_grid))
+        # Step 2: ie unlocks, od still locked.
+        state, _ = step(state, batch, jax.random.fold_in(key, 2))
+        cam = state.params["camera"]
+        assert float(jnp.abs(cam.intrinsics_noise).sum()) > 0
+        np.testing.assert_array_equal(np.array(cam.ray_o_grid), np.zeros_like(cam.ray_o_grid))
+
+    def test_weight_decay_mask_targets_noise_grids(self):
+        state, step, batch = build()
+        mask = noise_decay_mask(state.params)
+        cam_mask = mask["camera"]
+        assert cam_mask.ray_o_grid and cam_mask.ray_d_grid and cam_mask.distortion_noise
+        assert not cam_mask.intrinsics_noise and not cam_mask.extrinsics_noise
+        assert not jax.tree.leaves(mask["coarse"])[0]
+        fmask = frozen_mask(state.params)
+        assert fmask["camera"].intrinsics_init and not fmask["camera"].ray_o_grid
+
+    def test_no_camera_precomputed_rays(self):
+        state, step, _ = build(with_camera=False)
+        key = jax.random.key(10)
+        rays_o = jnp.zeros((64, 3)) + jnp.array([0.0, 0.0, 4.0])
+        rays_d = jnp.concatenate(
+            [jax.random.normal(key, (64, 2)) * 0.1, -jnp.ones((64, 1))], axis=-1
+        )
+        batch = {
+            "rays_o": rays_o,
+            "rays_d": rays_d,
+            "target": jnp.full((64, 3), 0.5),
+        }
+        for i in range(3):
+            state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestNdcTraining:
+    def test_ndc_with_learned_focal_runs(self):
+        state, step, batch = build(step_kwargs={"use_ndc": True, "near": 0.0, "far": 1.0})
+        key = jax.random.key(11)
+        state, metrics = step(state, batch, key)
+        assert np.isfinite(float(metrics["loss"]))
+        # Gradient reached the intrinsics through the NDC warp.
+        state, _ = step(state, batch, jax.random.fold_in(key, 1))
+        assert float(jnp.abs(state.params["camera"].intrinsics_noise).sum()) > 0
