@@ -1,0 +1,101 @@
+"""Device mesh + sharding plumbing.
+
+TPU-native replacement for the reference's two parallelism schemes
+(SURVEY.md section 2.10):
+
+- ``nn.DataParallel`` scatter/gather (``/root/reference/NeRF/create_nerf.py:56-69``)
+- multi-process DDP over gloo (``/root/reference/nerfplusplus/
+  ddp_train_nerf.py:296-302,631-634`` + ``create_nerf.py:54-62``)
+
+Here a single program lays out a ``jax.sharding.Mesh`` with a ``data`` axis
+(rays) and an optional ``model`` axis (MLP width, tensor-parallel). The ray
+batch shards over ``data``; parameters are replicated (or width-sharded over
+``model``); XLA inserts the gradient ``psum`` over ICI — including the camera
+parameters, fixing the reference's per-rank camera divergence (SURVEY.md
+section 3.5). No process-group bootstrap, no divisibility crashes (batches
+pad to shard multiples).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    """First-dim sharding over the data axis (ray batches)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host batch onto the mesh, rays sharded over ``data``.
+
+    Scalar entries (e.g. ``pair_idx``, scalar ``img_idx``) are replicated.
+    Batch sizes must be divisible by the data-axis size — use
+    :func:`pad_to_multiple` first for arbitrary sizes.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    out = {}
+    for k, v in batch.items():
+        v = jax.numpy.asarray(v)
+        if v.ndim >= 1 and v.shape[0] % n_data == 0 and v.shape[0] >= n_data:
+            out[k] = jax.device_put(v, data_sharded(mesh))
+        else:
+            out[k] = jax.device_put(v, replicated(mesh))
+    return out
+
+
+def replicate_state(mesh: Mesh, state):
+    """Replicate a train state (params + opt state) across the mesh."""
+    return jax.device_put(state, replicated(mesh))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
+    """Pad with edge values to a multiple; returns (padded, original_len).
+
+    Replaces the reference's hard divisibility requirement
+    (``ddp_train_nerf.py:144-146``) with pad-and-mask.
+    """
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x, n
+    width = [(0, 0)] * x.ndim
+    width[axis] = (0, pad)
+    return np.pad(x, width, mode="edge"), n
+
+
+def model_parallel_mlp_sharding(mesh: Mesh, params):
+    """NamedShardings width-sharding an MLP param pytree over ``model``.
+
+    Hidden (in, out) weight matrices alternate column/row sharding so
+    activations stay sharded through the network (Megatron-style pairs);
+    everything too small to shard is replicated. Returns a pytree of
+    NamedShardings matching ``params``.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def spec_for(path_leaf):
+        w = path_leaf
+        if w.ndim == 2 and w.shape[0] % n_model == 0 and w.shape[1] % n_model == 0:
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, params)
