@@ -1,0 +1,73 @@
+"""Host-side ray/pixel batching.
+
+Rebuild of the reference's two sampling modes
+(``/root/reference/NeRF/run_nerf.py:287-311,355-478``):
+
+- ``RayPool``: the ``use_batching`` path — precomputed rays over all train
+  images, shuffled once, drawn in fixed-size batches, reshuffled each epoch.
+- ``sample_pixels``: the per-image path, including the early-iteration
+  center-crop sampling (``precrop_iters``/``precrop_frac``,
+  ``run_nerf.py:418-438``).
+
+Pure numpy on the host; the device only ever sees fixed-shape batches.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class RayPool:
+    """Shuffled pool of precomputed (ray_o, ray_d, target) rows."""
+
+    def __init__(self, rays_o, rays_d, targets, seed: int = 777):
+        assert rays_o.shape == rays_d.shape and rays_o.shape[0] == targets.shape[0]
+        self._data = np.concatenate(
+            [rays_o, rays_d, targets], axis=-1
+        ).astype(np.float32)  # (N, 9)
+        self._rng = np.random.RandomState(seed)
+        self._order = self._rng.permutation(self._data.shape[0])
+        self._cursor = 0
+        self.epoch = 0
+
+    def next_batch(self, n: int) -> dict:
+        if self._cursor + n > self._data.shape[0]:
+            self._order = self._rng.permutation(self._data.shape[0])
+            self._cursor = 0
+            self.epoch += 1
+        idx = self._order[self._cursor : self._cursor + n]
+        self._cursor += n
+        rows = self._data[idx]
+        return {
+            "rays_o": rows[:, 0:3],
+            "rays_d": rows[:, 3:6],
+            "target": rows[:, 6:9],
+        }
+
+
+def sample_pixels(
+    rng: np.random.RandomState,
+    H: int,
+    W: int,
+    n_rand: int,
+    precrop_frac: float | None = None,
+):
+    """Random pixel coordinates, optionally restricted to a center crop.
+
+    Returns (px, py) float32 arrays of shape (n_rand,).
+    """
+    if precrop_frac is not None:
+        dh = int(H // 2 * precrop_frac)
+        dw = int(W // 2 * precrop_frac)
+        ys = np.arange(H // 2 - dh, H // 2 + dh)
+        xs = np.arange(W // 2 - dw, W // 2 + dw)
+    else:
+        ys = np.arange(H)
+        xs = np.arange(W)
+    py = ys[rng.randint(0, len(ys), n_rand)]
+    px = xs[rng.randint(0, len(xs), n_rand)]
+    return px.astype(np.float32), py.astype(np.float32)
+
+
+def gather_target(images: np.ndarray, img_idx, px, py) -> np.ndarray:
+    """Target RGB at integer pixel coords; ``img_idx`` scalar or (N,)."""
+    return images[img_idx, py.astype(np.int64), px.astype(np.int64)]
