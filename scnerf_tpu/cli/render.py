@@ -1,0 +1,100 @@
+"""Render / evaluation CLI.
+
+Reference equivalents: ``run_nerf.py --render_only`` (``render_path`` +
+metric dump, ``/root/reference/NeRF/run_nerf.py:232-283,748-800``) and
+``ddp_test_nerf.py``. Restores the latest checkpoint, renders the chosen
+split or the spiral/spherical render path, writes PNGs + an mp4, and prints
+PSNR/SSIM (+PRD when a match cache exists).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="scnerf-tpu renderer")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--ckpt_dir", type=str, default=None)
+    parser.add_argument("--split", type=str, default="test", choices=["test", "path"])
+    parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--max_views", type=int, default=None)
+    args, unknown = parser.parse_known_args(argv)
+
+    from scnerf_tpu.core.config import load_experiment
+    from scnerf_tpu.tools.video import array_to_video
+    from scnerf_tpu.train.checkpoint import restore_checkpoint
+    from scnerf_tpu.train.driver import (
+        build_experiment,
+        evaluate_test_views,
+        render_image,
+    )
+
+    cfg = load_experiment(args.config)
+    expdir = os.path.join(cfg.logging.basedir, cfg.logging.expname)
+    ckpt_dir = args.ckpt_dir or os.path.join(expdir, "ckpts")
+    out_dir = args.out or os.path.join(expdir, f"render_{args.split}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    exp = build_experiment(cfg, expdir)
+    restored = restore_checkpoint(ckpt_dir, exp.state)
+    if restored is not None:
+        exp.state = restored
+        print(f"[render] restored step {int(restored.step)} from {ckpt_dir}")
+    else:
+        print("[render] no checkpoint found; rendering with initial params")
+
+    import imageio.v2 as imageio
+
+    if args.split == "test":
+        results = evaluate_test_views(exp, max_views=args.max_views)
+        print(f"[eval] psnr={results['psnr']:.2f} ssim={results['ssim']:.4f} "
+              f"views={results['n_views']}")
+        for n, idx in enumerate(exp.i_test[: args.max_views]):
+            from scnerf_tpu.train.driver import aligned_eval_extrinsic
+
+            c2w = (
+                aligned_eval_extrinsic(exp, int(idx))
+                if exp.state.params.get("camera") is not None
+                else exp.gt_poses[int(idx)]
+            )
+            out = render_image(exp, c2w)
+            imageio.imwrite(
+                os.path.join(out_dir, f"{n:03d}.png"),
+                (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8),
+            )
+    else:
+        # Spiral / spherical render path written as video.
+        frames = []
+        # LLFF render poses are (R, 3, 5); blender (R, 4, 4).
+        from scnerf_tpu.core.config import ExperimentConfig  # noqa: F401
+
+        poses = exp.noisy_poses if False else None
+        data_poses = getattr(exp, "render_poses", None)
+        # Re-load render path from the dataset module.
+        if cfg.dataset.dataset_type == "blender":
+            from scnerf_tpu.data.blender import pose_spherical
+
+            path = [pose_spherical(a, -30.0, 4.0) for a in np.linspace(-180, 180, 41)[:-1]]
+        else:
+            from scnerf_tpu.data.llff import load_llff
+
+            path = load_llff(cfg.dataset.datadir, factor=cfg.dataset.factor).render_poses
+            path = [np.concatenate([p[:3, :4], [[0, 0, 0]]], 0) for p in path]
+            path = [np.concatenate([p, [[0], [0], [0], [1]]], 1)[:4, :4] for p in path]
+        for n, c2w in enumerate(path):
+            out = render_image(exp, np.asarray(c2w), camera_rays=True)
+            frames.append(out["rgb"])
+            imageio.imwrite(
+                os.path.join(out_dir, f"{n:03d}.png"),
+                (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8),
+            )
+        array_to_video(np.stack(frames), os.path.join(out_dir, "video.mp4"))
+    print(f"[render] wrote {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,234 @@
+"""Typed experiment configuration with reference-flag compatibility.
+
+The reference has two divergent configargparse namespaces
+(``/root/reference/NeRF/config_argparse.py:8-336`` and
+``/root/reference/nerfplusplus/config_argparser.py:8-164``). Here both map
+onto ONE typed config tree; :func:`parse_config_file` reads the reference's
+``key = value`` txt files (so published experiment configs run unchanged)
+and :func:`experiment_from_flags` translates reference flag names into the
+tree, warning on unknown keys instead of failing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _parse_value(v: str) -> Any:
+    v = v.strip()
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    if v.lower() in ("none", "null"):
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    if "," in v and all(p.strip().lstrip("-").isdigit() for p in v.split(",")):
+        return [int(p) for p in v.split(",")]
+    return v
+
+
+def parse_config_file(path: str) -> dict:
+    """configargparse-style ``key = value`` txt (comments with #)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            out[k.strip().lstrip("-")] = _parse_value(v)
+    return out
+
+
+@dataclass
+class DatasetConfig:
+    dataset_type: str = "llff"  # llff | blender | nerfpp
+    datadir: str = ""
+    factor: int = 8
+    llffhold: int = 8
+    spherify: bool = False
+    no_ndc: bool = False
+    lindisp: bool = False
+    half_res: bool = False
+    white_bkgd: bool = False
+    testskip: int = 8
+    normalize_factor: float = 1.0  # NeRF++
+    # noise injection
+    initial_noise_size_intrinsic: float = 0.0
+    initial_noise_size_rotation: float = 0.0
+    initial_noise_size_translation: float = 0.0
+    run_without_colmap: str = "none"
+
+
+@dataclass
+class ModelConfig:
+    netdepth: int = 8
+    netwidth: int = 256
+    netdepth_fine: int = 8
+    netwidth_fine: int = 256
+    multires: int = 10
+    multires_views: int = 4
+    use_viewdirs: bool = True
+    # NeRF++
+    cascade_level: int = 2
+    cascade_samples: tuple = (64, 64)
+    autoexpo: bool = False
+    lambda_autoexpo: float = 1e-2
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class SamplingConfig:
+    N_rand: int = 1024
+    N_samples: int = 64
+    N_importance: int = 64
+    perturb: bool = True
+    raw_noise_std: float = 0.0
+    chunk: int = 8192
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+    use_batching: bool = False
+
+
+@dataclass
+class CameraFlags:
+    camera_model: str = "none"  # none | pinhole_rot_noise_10k_rayo_rayd[_dist]
+    grid_size: int = 10
+    ray_o_noise_scale: float = 1e-3
+    ray_d_noise_scale: float = 1e-3
+    intrinsics_noise_scale: float = 1.0
+    extrinsics_noise_scale: float = 1e-2
+    distortion_noise_scale: float = 1e-2
+    multiplicative_noise: bool = False
+    # curriculum
+    add_ie: int = 0
+    add_od: int = 0
+    add_radial: int = 0
+    add_prd: int = 0
+    # PRD
+    ray_loss_type: str = "none"  # none | proj_ray_dist
+    i_ray_dist_loss: int = 10
+    ray_dist_loss_weight: float = 1e-4
+    proj_ray_dist_threshold: float = 5.0
+    pairing_angle_threshold: float = 30.0
+    matcher: str = "precomputed"  # precomputed | sift | superglue
+    match_num: int = 1024
+
+    @property
+    def use_camera(self) -> bool:
+        return self.camera_model != "none"
+
+    @property
+    def use_distortion(self) -> bool:
+        return "dist" in self.camera_model or "fisheye" in self.camera_model
+
+
+@dataclass
+class OptimConfig:
+    lrate: float = 5e-4
+    lrate_decay: int = 250  # NeRF: decay steps in thousands
+    lrate_decay_factor: float = 0.1
+    lrate_decay_steps: int = 750_000  # NeRF++ direct steps
+    use_custom_optim: bool = False
+    non_linear_weight_decay: float = 0.0
+    N_iters: int = 200_001
+
+
+@dataclass
+class LoggingConfig:
+    expname: str = "exp"
+    basedir: str = "./logs"
+    i_print: int = 100
+    i_img: int = 500
+    i_weights: int = 10_000
+    i_testset: int = 50_000
+    i_video: int = 50_000
+    camera_log: int = 20_000
+    use_wandb: bool = False
+    debug: bool = False
+    seed: int = 777
+
+
+@dataclass
+class ExperimentConfig:
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    camera: CameraFlags = field(default_factory=CameraFlags)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+
+    def to_json(self) -> str:
+        def enc(o):
+            if dataclasses.is_dataclass(o):
+                return dataclasses.asdict(o)
+            return o
+
+        return json.dumps(dataclasses.asdict(self), default=enc, indent=2)
+
+
+# Reference flag name -> (section, field) for names that differ or live in
+# non-obvious sections. Identical names resolve automatically.
+_ALIASES = {
+    "chunk_size": ("sampling", "chunk"),
+    "netchunk_per_gpu": ("sampling", "chunk"),
+    "scene": ("dataset", "datadir"),
+    "max_freq_log2": ("model", "multires"),
+    "max_freq_log2_viewdirs": ("model", "multires_views"),
+    "alternate_frequency": ("camera", "i_ray_dist_loss"),
+    "lambda_autoexpo": ("model", "lambda_autoexpo"),
+}
+
+
+def experiment_from_flags(flags: dict, warn=print) -> ExperimentConfig:
+    """Build the config tree from a flat reference-style flag dict."""
+    cfg = ExperimentConfig()
+    sections = {
+        "dataset": cfg.dataset,
+        "model": cfg.model,
+        "sampling": cfg.sampling,
+        "camera": cfg.camera,
+        "optim": cfg.optim,
+        "logging": cfg.logging,
+    }
+    index = {}
+    for sname, obj in sections.items():
+        for f in dataclasses.fields(obj):
+            index.setdefault(f.name, (sname, f.name))
+    index.update(_ALIASES)
+
+    for k, v in flags.items():
+        if k == "config":
+            continue
+        if k in index:
+            sname, fname = index[k]
+            obj = sections[sname]
+            cur = getattr(obj, fname)
+            if isinstance(cur, tuple) and isinstance(v, (list, str)):
+                v = tuple(int(x) for x in (v.split(",") if isinstance(v, str) else v))
+            elif isinstance(cur, bool) and isinstance(v, (int, str)):
+                v = bool(v) if not isinstance(v, str) else v.lower() == "true"
+            elif isinstance(cur, float) and isinstance(v, int):
+                v = float(v)
+            setattr(obj, fname, v)
+        else:
+            warn(f"[config] ignoring unknown flag: {k} = {v}")
+    return cfg
+
+
+def load_experiment(config_path: str | None = None, overrides: dict | None = None,
+                    warn=print) -> ExperimentConfig:
+    flags = {}
+    if config_path:
+        flags.update(parse_config_file(config_path))
+    if overrides:
+        flags.update(overrides)
+    return experiment_from_flags(flags, warn=warn)

@@ -37,6 +37,9 @@ class RenderConfig:
     near: float = static_field(default=0.0)
     far: float = static_field(default=1.0)
     chunk: int = static_field(default=8192)  # full-image render chunk
+    # Inverse-CDF implementation: "auto" uses the fused Pallas kernel on TPU
+    # and the XLA path elsewhere; "xla" / "pallas" force one.
+    pdf_impl: str = static_field(default="auto")
 
     def eval_mode(self) -> "RenderConfig":
         """Test-time overrides (``create_nerf.py:86-90``): no jitter/noise."""
@@ -90,12 +93,26 @@ def render_rays(
         "depth": coarse["depth"],
     }
     if render_cfg.n_importance > 0:
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sample_pdf(
-            k_pdf, z_mid, coarse["weights"][..., 1:-1],
-            render_cfg.n_importance, det=not render_cfg.perturb,
-        )
-        z_samples = jax.lax.stop_gradient(z_samples)  # render.py:274
+        # Resampling is gradient-stopped in the reference (render.py:274);
+        # stopping the *inputs* is equivalent and keeps the Pallas kernel
+        # outside the autodiff graph entirely.
+        z_mid = jax.lax.stop_gradient(0.5 * (z_vals[..., 1:] + z_vals[..., :-1]))
+        w_mid = jax.lax.stop_gradient(coarse["weights"][..., 1:-1])
+        impl = render_cfg.pdf_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            from scnerf_tpu.kernels.pdf_pallas import sample_pdf_pallas
+
+            z_samples = sample_pdf_pallas(
+                k_pdf, z_mid, w_mid,
+                render_cfg.n_importance, det=not render_cfg.perturb,
+            )
+        else:
+            z_samples = sample_pdf(
+                k_pdf, z_mid, w_mid,
+                render_cfg.n_importance, det=not render_cfg.perturb,
+            )
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
         fine_params = params.get("fine") or params["coarse"]

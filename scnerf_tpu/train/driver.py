@@ -1,0 +1,397 @@
+"""NeRF-pipeline training driver.
+
+Rebuild of ``train()`` (``/root/reference/NeRF/run_nerf.py:82-1043``) as a
+library function: config tree in, trained state + metrics out. Orchestrates
+dataset loading, camera construction, correspondence caching, the compiled
+train steps (photometric and photometric+PRD variants), periodic logging,
+checkpointing, and validation rendering with ATE-aligned poses.
+
+The hot path stays entirely on device; the driver's Python loop only samples
+pixel indices (numpy) and dispatches the jitted step.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scnerf_tpu.camera.model import (
+    Camera,
+    CameraConfig,
+    OPENGL,
+    get_extrinsic,
+    get_extrinsics,
+    get_intrinsic,
+    init_camera,
+)
+from scnerf_tpu.camera.rays import pixels_to_rays, rays_no_camera
+from scnerf_tpu.core.config import ExperimentConfig
+from scnerf_tpu.data.batching import RayPool, gather_target, sample_pixels
+from scnerf_tpu.data.noise import NoiseConfig
+from scnerf_tpu.fields.nerf import NeRFConfig, init_nerf_mlp
+from scnerf_tpu.geometry.alignment import align_c2w_trajectories, apply_sim3
+from scnerf_tpu.losses.photometric import img2mse, mse2psnr
+from scnerf_tpu.matching.pairs import flatten_pairs, image_pair_candidates
+from scnerf_tpu.matching.provider import (
+    PrecomputedMatches,
+    SIFTMatcher,
+    build_match_cache,
+    pad_matches,
+    sift_available,
+)
+from scnerf_tpu.metrics.ssim import ssim
+from scnerf_tpu.render.renderer import RenderConfig, render_chunked
+from scnerf_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from scnerf_tpu.train.curriculum import Curriculum
+from scnerf_tpu.train.logging_utils import MetricLogger
+from scnerf_tpu.train.optim import make_optimizer
+from scnerf_tpu.train.step import (
+    TrainConfig,
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+
+
+@dataclass
+class NerfExperiment:
+    """Everything the loop needs, assembled once."""
+
+    cfg: ExperimentConfig
+    state: TrainState
+    step_fn: Any
+    step_prd_fn: Any | None
+    model_cfg: NeRFConfig
+    render_cfg: RenderConfig
+    train_cfg: TrainConfig
+    curriculum: Curriculum
+    images: np.ndarray  # (N, H, W, 3) float, white-composited if needed
+    i_train: np.ndarray
+    i_test: np.ndarray
+    gt_intrinsic: np.ndarray
+    gt_poses: np.ndarray
+    noisy_poses: np.ndarray
+    noisy_focal: float
+    near: float
+    far: float
+    H: int = 0
+    W: int = 0
+    match_cache: PrecomputedMatches | None = None
+    pair_list: np.ndarray | None = None
+    ray_pool: RayPool | None = None
+    rng: np.random.RandomState = field(default_factory=lambda: np.random.RandomState(777))
+    logger: MetricLogger | None = None
+
+
+def _load_dataset(cfg: ExperimentConfig, rng):
+    ds = cfg.dataset
+    noise = NoiseConfig(
+        intrinsic_scale=ds.initial_noise_size_intrinsic,
+        rotation_deg=ds.initial_noise_size_rotation,
+        translation=ds.initial_noise_size_translation,
+        run_without_colmap=ds.run_without_colmap,
+    )
+    if ds.dataset_type == "llff":
+        from scnerf_tpu.data.llff import load_llff
+
+        d = load_llff(
+            ds.datadir, factor=ds.factor, spherify=ds.spherify,
+            llffhold=ds.llffhold, noise=noise, rng=rng,
+        )
+        images = d.images
+        i_train, i_test = d.i_train, d.i_test
+        if ds.no_ndc:
+            near, far = float(d.bds.min() * 0.9), float(d.bds.max() * 1.0)
+        else:
+            near, far = 0.0, 1.0
+        return (images, d.noisy_poses, d.gt_poses, d.gt_intrinsic, d.noisy_focal,
+                i_train, i_test, near, far, d.H, d.W)
+    elif ds.dataset_type == "blender":
+        from scnerf_tpu.data.blender import load_blender
+
+        d = load_blender(ds.datadir, half_res=ds.half_res, testskip=ds.testskip,
+                         noise=noise, rng=rng)
+        if ds.white_bkgd:
+            images = d.images[..., :3] * d.images[..., 3:] + (1.0 - d.images[..., 3:])
+        else:
+            images = d.images[..., :3]
+        i_train, i_val, i_test = d.i_split
+        return (images.astype(np.float32), d.noisy_poses, d.gt_poses, d.gt_intrinsic,
+                d.noisy_focal, i_train, i_test, 2.0, 6.0, d.H, d.W)
+    raise ValueError(f"unknown dataset_type {ds.dataset_type} for NeRF pipeline")
+
+
+def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfExperiment:
+    rng = np.random.RandomState(cfg.logging.seed)
+    (images, noisy_poses, gt_poses, gt_K, noisy_focal,
+     i_train, i_test, near, far, H, W) = _load_dataset(cfg, rng)
+
+    use_ndc = cfg.dataset.dataset_type == "llff" and not cfg.dataset.no_ndc
+    model_cfg = NeRFConfig(
+        depth=cfg.model.netdepth, width=cfg.model.netwidth,
+        multires=cfg.model.multires, multires_views=cfg.model.multires_views,
+        use_viewdirs=cfg.model.use_viewdirs, compute_dtype=cfg.model.compute_dtype,
+    )
+    render_cfg = RenderConfig(
+        n_samples=cfg.sampling.N_samples, n_importance=cfg.sampling.N_importance,
+        perturb=cfg.sampling.perturb, lindisp=cfg.dataset.lindisp,
+        raw_noise_std=cfg.sampling.raw_noise_std, white_bkgd=cfg.dataset.white_bkgd,
+        use_viewdirs=cfg.model.use_viewdirs, chunk=cfg.sampling.chunk,
+    )
+    train_cfg = TrainConfig(
+        lr_init=cfg.optim.lrate,
+        lr_decay_steps=cfg.optim.lrate_decay * 1000.0,
+        use_ndc=use_ndc, near=near, far=far,
+        prd_method="NeRF", prd_threshold=cfg.camera.proj_ray_dist_threshold,
+    )
+    curriculum = Curriculum(
+        add_ie=cfg.camera.add_ie, add_od=cfg.camera.add_od,
+        add_radial=cfg.camera.add_radial, add_prd=cfg.camera.add_prd,
+        i_ray_dist_loss=cfg.camera.i_ray_dist_loss,
+        ray_dist_loss_weight=cfg.camera.ray_dist_loss_weight,
+    )
+
+    key = jax.random.key(cfg.logging.seed)
+    params = {
+        "coarse": init_nerf_mlp(key, model_cfg),
+        "fine": init_nerf_mlp(jax.random.fold_in(key, 1), model_cfg)
+        if cfg.sampling.N_importance > 0 else None,
+    }
+
+    camera = None
+    if cfg.camera.use_camera:
+        # Camera is built over the TRAIN split only (i_map semantics of the
+        # reference, run_nerf.py:179-183): camera index c corresponds to
+        # image i_train[c].
+        if cfg.dataset.run_without_colmap != "none":
+            # fx=W, fy=H, cx=W/2, cy=H/2 init (create_nerf.py:95-123).
+            K_init = np.array(
+                [[W, 0, W / 2, 0], [0, H, H / 2, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+                np.float32,
+            )
+        else:
+            K_init = gt_K.copy()
+            K_init[0, 0] = K_init[1, 1] = noisy_focal
+        cam_cfg = CameraConfig(
+            H=H, W=W, grid_size=cfg.camera.grid_size, convention=OPENGL,
+            use_distortion=cfg.camera.use_distortion,
+            multiplicative_noise=cfg.camera.multiplicative_noise,
+            ray_o_noise_scale=cfg.camera.ray_o_noise_scale,
+            ray_d_noise_scale=cfg.camera.ray_d_noise_scale,
+            intrinsics_noise_scale=cfg.camera.intrinsics_noise_scale,
+            extrinsics_noise_scale=cfg.camera.extrinsics_noise_scale,
+            distortion_noise_scale=cfg.camera.distortion_noise_scale,
+        )
+        camera = init_camera(K_init, noisy_poses[i_train], cam_cfg)
+        params["camera"] = camera
+
+    tx = make_optimizer(
+        train_cfg.lr_init, train_cfg.lr_decay_steps,
+        weight_decay=cfg.optim.non_linear_weight_decay if cfg.optim.use_custom_optim else 0.0,
+        params_example=params,
+    )
+    state = create_train_state(params, tx)
+
+    prd_on = cfg.camera.use_camera and cfg.camera.ray_loss_type == "proj_ray_dist"
+    step_fn = make_train_step(model_cfg, render_cfg, train_cfg, curriculum, tx,
+                              with_prd=False, donate=False)
+    step_prd_fn = (
+        make_train_step(model_cfg, render_cfg, train_cfg, curriculum, tx,
+                        with_prd=True, donate=False)
+        if prd_on else None
+    )
+
+    match_cache = None
+    pair_list = None
+    if prd_on:
+        pairs = image_pair_candidates(
+            noisy_poses[i_train], cfg.camera.pairing_angle_threshold
+        )
+        pair_list = flatten_pairs(pairs)  # indices into the camera table
+        cache_path = os.path.join(expdir, "matches.npz") if expdir else None
+        if cache_path and os.path.exists(cache_path):
+            match_cache = PrecomputedMatches(cache_path)
+        elif cfg.camera.matcher == "sift" and sift_available() and len(pair_list):
+            match_cache = build_match_cache(
+                images[i_train], pair_list, SIFTMatcher(), cache_path
+            )
+        else:
+            match_cache = PrecomputedMatches(cache_path)
+
+    ray_pool = None
+    if cfg.sampling.use_batching and not cfg.camera.use_camera:
+        ros, rds, tgts = [], [], []
+        for i in i_train:
+            o, dvec = rays_no_camera(H, W, noisy_focal, jnp.asarray(noisy_poses[i]))
+            ros.append(np.asarray(o))
+            rds.append(np.asarray(dvec))
+            tgts.append(images[i].reshape(-1, 3))
+        ray_pool = RayPool(
+            np.concatenate(ros), np.concatenate(rds), np.concatenate(tgts),
+            seed=cfg.logging.seed,
+        )
+
+    logger = MetricLogger(expdir, use_wandb=cfg.logging.use_wandb) if expdir else None
+    if logger:
+        logger.snapshot_config(cfg.to_json())
+
+    return NerfExperiment(
+        cfg=cfg, state=state, step_fn=step_fn, step_prd_fn=step_prd_fn,
+        model_cfg=model_cfg, render_cfg=render_cfg, train_cfg=train_cfg,
+        curriculum=curriculum, images=images, i_train=i_train, i_test=i_test,
+        gt_intrinsic=gt_K, gt_poses=gt_poses, noisy_poses=noisy_poses,
+        noisy_focal=noisy_focal, near=near, far=far, H=H, W=W,
+        match_cache=match_cache, pair_list=pair_list, ray_pool=ray_pool,
+        rng=rng, logger=logger,
+    )
+
+
+def sample_batch(exp: NerfExperiment, step: int) -> dict:
+    cfg = exp.cfg
+    n_rand = cfg.sampling.N_rand
+    if exp.ray_pool is not None:
+        b = exp.ray_pool.next_batch(n_rand)
+        return {k: jnp.asarray(v) for k, v in b.items()}
+    precrop = (
+        cfg.sampling.precrop_frac
+        if step < cfg.sampling.precrop_iters
+        else None
+    )
+    ci = exp.rng.randint(0, len(exp.i_train))  # camera-table index
+    img_i = exp.i_train[ci]
+    px, py = sample_pixels(exp.rng, exp.H, exp.W, n_rand, precrop)
+    target = gather_target(exp.images, img_i, px, py)
+    batch = {
+        "px": jnp.asarray(px),
+        "py": jnp.asarray(py),
+        "img_idx": jnp.full((n_rand,), ci, jnp.int32),
+        "target": jnp.asarray(target, jnp.float32),
+    }
+    if exp.state.params.get("camera") is None:
+        o, d = rays_no_camera(
+            exp.H, exp.W, exp.noisy_focal, jnp.asarray(exp.noisy_poses[img_i]),
+            jnp.asarray(px), jnp.asarray(py),
+        )
+        batch = {"rays_o": o, "rays_d": d, "target": batch["target"],
+                 "focal": exp.noisy_focal, "H": exp.H, "W": exp.W}
+    return batch
+
+
+def sample_prd_batch(exp: NerfExperiment) -> dict | None:
+    """One random feasible pair with cached matches, padded."""
+    if exp.pair_list is None or len(exp.pair_list) == 0 or exp.match_cache is None:
+        return None
+    for _ in range(8):
+        i, j = exp.pair_list[exp.rng.randint(0, len(exp.pair_list))]
+        m = exp.match_cache.get(int(i), int(j))
+        if m is not None and m.kps0.shape[0] > 0:
+            kps0, kps1, mask = pad_matches(m, exp.cfg.camera.match_num)
+            return {
+                "kps0": jnp.asarray(kps0),
+                "kps1": jnp.asarray(kps1),
+                "kp_mask": jnp.asarray(mask),
+                "pair_idx": jnp.asarray([int(i), int(j)]),
+            }
+    return None
+
+
+def train_loop(exp: NerfExperiment, n_steps: int | None = None, ckpt_dir: str | None = None):
+    """Run the optimization loop; returns final state and last metrics."""
+    cfg = exp.cfg
+    n_steps = n_steps if n_steps is not None else cfg.optim.N_iters
+    key = jax.random.key(cfg.logging.seed + 1)
+    metrics = {}
+    start = int(exp.state.step)
+    for it in range(start, n_steps):
+        batch = sample_batch(exp, it)
+        use_prd = (
+            exp.step_prd_fn is not None
+            and it >= exp.curriculum.add_prd
+            and it % exp.curriculum.i_ray_dist_loss == 0
+        )
+        if use_prd:
+            prd_batch = sample_prd_batch(exp)
+            if prd_batch is not None and "px" in batch:
+                batch = dict(batch, **prd_batch)
+                exp.state, metrics = exp.step_prd_fn(
+                    exp.state, batch, jax.random.fold_in(key, it)
+                )
+            else:
+                exp.state, metrics = exp.step_fn(exp.state, batch, jax.random.fold_in(key, it))
+        else:
+            exp.state, metrics = exp.step_fn(exp.state, batch, jax.random.fold_in(key, it))
+
+        step_now = int(exp.state.step)
+        if exp.logger and step_now % cfg.logging.i_print == 0:
+            exp.logger.log(step_now, metrics)
+        if ckpt_dir and step_now % cfg.logging.i_weights == 0:
+            save_checkpoint(ckpt_dir, exp.state)
+    return exp.state, metrics
+
+
+def aligned_eval_extrinsic(exp: NerfExperiment, image_idx: int) -> jnp.ndarray:
+    """Pose for rendering a val/test view with the learned camera.
+
+    The reference aligns the learned train poses to the GT train poses with a
+    Sim(3) (ATE alignment) and transports the GT val/test pose into the
+    learned frame (``run_nerf.py:646-660``).
+    """
+    camera: Camera = exp.state.params["camera"]
+    learned_train = np.asarray(get_extrinsics(camera))
+    gt_train = exp.gt_poses[exp.i_train]
+    _, (s, R, t) = align_c2w_trajectories(jnp.asarray(gt_train), jnp.asarray(learned_train))
+    aligned = apply_sim3(jnp.asarray(exp.gt_poses[image_idx : image_idx + 1]), s, R, t)
+    return aligned[0]
+
+
+def render_image(exp: NerfExperiment, c2w, key=None, camera_rays: bool = True):
+    """Full-image render returning (H, W, 3) rgb + aux maps."""
+    key = key if key is not None else jax.random.key(0)
+    eval_cfg = exp.render_cfg.eval_mode()
+    camera = exp.state.params.get("camera")
+    py, px = np.mgrid[0 : exp.H, 0 : exp.W]
+    px = jnp.asarray(px.reshape(-1), jnp.float32)
+    py = jnp.asarray(py.reshape(-1), jnp.float32)
+    if camera is not None and camera_rays:
+        rays_o, rays_d = pixels_to_rays(camera, px, py, c2w=jnp.asarray(c2w))
+    else:
+        rays_o, rays_d = rays_no_camera(
+            exp.H, exp.W, exp.noisy_focal, jnp.asarray(c2w), px, py
+        )
+    viewdirs = rays_d / (jnp.linalg.norm(rays_d, axis=-1, keepdims=True) + 1e-10)
+    if exp.train_cfg.use_ndc:
+        from scnerf_tpu.geometry.ndc import ndc_rays
+
+        if camera is not None:
+            K = get_intrinsic(camera)
+            fx, fy = K[0, 0], K[1, 1]
+        else:
+            fx = fy = exp.noisy_focal
+        rays_o, rays_d = ndc_rays(exp.H, exp.W, fx, fy, 1.0, rays_o, rays_d)
+    out = render_chunked(
+        exp.state.params, exp.model_cfg, eval_cfg, rays_o, rays_d, viewdirs,
+        exp.near, exp.far, key,
+    )
+    return {k: np.asarray(v).reshape((exp.H, exp.W) + v.shape[1:]) for k, v in out.items()}
+
+
+def evaluate_test_views(exp: NerfExperiment, max_views: int | None = None) -> dict:
+    """PSNR/SSIM over the test split (ATE-aligned when a camera is learned)."""
+    psnrs, ssims = [], []
+    views = exp.i_test[:max_views] if max_views else exp.i_test
+    for idx in views:
+        if exp.state.params.get("camera") is not None:
+            c2w = aligned_eval_extrinsic(exp, int(idx))
+        else:
+            c2w = exp.gt_poses[int(idx)]
+        out = render_image(exp, c2w)
+        target = exp.images[int(idx)]
+        mse = float(img2mse(jnp.asarray(out["rgb"]), jnp.asarray(target)))
+        psnrs.append(float(mse2psnr(jnp.asarray(mse))))
+        ssims.append(float(ssim(jnp.asarray(out["rgb"]), jnp.asarray(target))))
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+            "n_views": len(psnrs)}

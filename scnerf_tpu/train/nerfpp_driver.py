@@ -1,0 +1,206 @@
+"""NeRF++ pipeline training driver.
+
+Rebuild of ``ddp_train_nerf()`` (``/root/reference/nerfplusplus/
+ddp_train_nerf.py:311-620``) as a library function. Single program; scale-out
+happens by sharding the ray batch over the mesh (``distributed/mesh.py``)
+rather than process spawning.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scnerf_tpu.camera.model import CameraConfig, OPENCV, init_camera
+from scnerf_tpu.core.config import ExperimentConfig
+from scnerf_tpu.data.batching import sample_pixels
+from scnerf_tpu.data.nerfpp_split import (
+    check_cameras_in_unit_sphere,
+    load_nerfpp_split,
+)
+from scnerf_tpu.fields.nerfpp import NerfPPConfig, init_nerfpp_net
+from scnerf_tpu.matching.pairs import flatten_pairs, image_pair_candidates
+from scnerf_tpu.matching.provider import (
+    PrecomputedMatches,
+    SIFTMatcher,
+    build_match_cache,
+    pad_matches,
+    sift_available,
+)
+from scnerf_tpu.render.nerfpp_renderer import NerfPPRenderConfig
+from scnerf_tpu.train.checkpoint import save_checkpoint
+from scnerf_tpu.train.curriculum import Curriculum
+from scnerf_tpu.train.logging_utils import MetricLogger
+from scnerf_tpu.train.nerfpp_step import NerfPPTrainConfig, make_nerfpp_train_step
+from scnerf_tpu.train.optim import make_optimizer
+from scnerf_tpu.train.step import TrainState, create_train_state
+
+
+@dataclass
+class NerfPPExperiment:
+    cfg: ExperimentConfig
+    state: TrainState
+    step_fn: Any
+    step_prd_fn: Any | None
+    model_cfg: NerfPPConfig
+    render_cfg: NerfPPRenderConfig
+    curriculum: Curriculum
+    train_data: Any
+    match_cache: PrecomputedMatches | None
+    pair_list: np.ndarray | None
+    rng: np.random.RandomState = field(default_factory=lambda: np.random.RandomState(777))
+    logger: MetricLogger | None = None
+
+
+def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfPPExperiment:
+    rng = np.random.RandomState(cfg.logging.seed)
+    train = load_nerfpp_split(
+        cfg.dataset.datadir, "train",
+        normalize_factor=cfg.dataset.normalize_factor,
+    )
+    check_cameras_in_unit_sphere(train.poses)
+
+    model_cfg = NerfPPConfig(
+        depth=cfg.model.netdepth, width=cfg.model.netwidth,
+        max_freq_log2=cfg.model.multires,
+        max_freq_log2_viewdirs=cfg.model.multires_views,
+        compute_dtype=cfg.model.compute_dtype,
+    )
+    render_cfg = NerfPPRenderConfig(
+        cascade_samples=tuple(cfg.model.cascade_samples),
+        chunk=cfg.sampling.chunk,
+    )
+    train_cfg = NerfPPTrainConfig(
+        lr_init=cfg.optim.lrate,
+        lr_decay_steps=float(cfg.optim.lrate_decay_steps),
+        lr_decay_factor=cfg.optim.lrate_decay_factor,
+        autoexpo=cfg.model.autoexpo,
+        lambda_autoexpo=cfg.model.lambda_autoexpo,
+        prd_threshold=cfg.camera.proj_ray_dist_threshold,
+    )
+    curriculum = Curriculum(
+        add_ie=cfg.camera.add_ie, add_od=cfg.camera.add_od,
+        add_radial=cfg.camera.add_radial, add_prd=cfg.camera.add_prd,
+        i_ray_dist_loss=cfg.camera.i_ray_dist_loss,
+        ray_dist_loss_weight=cfg.camera.ray_dist_loss_weight,
+    )
+
+    key = jax.random.key(cfg.logging.seed)
+    n_imgs = train.poses.shape[0]
+    params = {
+        "levels": [
+            init_nerfpp_net(jax.random.fold_in(key, m), model_cfg,
+                            n_images=n_imgs, autoexpo=cfg.model.autoexpo)
+            for m in range(cfg.model.cascade_level)
+        ],
+    }
+    if cfg.camera.use_camera:
+        cam_cfg = CameraConfig(
+            H=train.H, W=train.W, grid_size=cfg.camera.grid_size,
+            convention=OPENCV, pixel_offset=0.5,
+            use_distortion=cfg.camera.use_distortion,
+            multiplicative_noise=cfg.camera.multiplicative_noise,
+            ray_o_noise_scale=cfg.camera.ray_o_noise_scale,
+            ray_d_noise_scale=cfg.camera.ray_d_noise_scale,
+            intrinsics_noise_scale=cfg.camera.intrinsics_noise_scale,
+            extrinsics_noise_scale=cfg.camera.extrinsics_noise_scale,
+            distortion_noise_scale=cfg.camera.distortion_noise_scale,
+        )
+        k = train.k[0] if (train.k is not None and cfg.camera.use_distortion) else None
+        params["camera"] = init_camera(train.intrinsics[0], train.poses, cam_cfg, k=k)
+
+    tx = make_optimizer(
+        train_cfg.lr_init, train_cfg.lr_decay_steps,
+        decay_factor=train_cfg.lr_decay_factor,
+        weight_decay=cfg.optim.non_linear_weight_decay if cfg.optim.use_custom_optim else 0.0,
+        params_example=params,
+    )
+    state = create_train_state(params, tx)
+
+    prd_on = cfg.camera.use_camera and cfg.camera.ray_loss_type == "proj_ray_dist"
+    step_fn = make_nerfpp_train_step(model_cfg, render_cfg, train_cfg, curriculum,
+                                     tx, with_prd=False, donate=False)
+    step_prd_fn = (
+        make_nerfpp_train_step(model_cfg, render_cfg, train_cfg, curriculum,
+                               tx, with_prd=True, donate=False)
+        if prd_on else None
+    )
+
+    match_cache = None
+    pair_list = None
+    if prd_on:
+        pairs = image_pair_candidates(train.poses, cfg.camera.pairing_angle_threshold)
+        pair_list = flatten_pairs(pairs)
+        cache_path = os.path.join(expdir, "matches.npz") if expdir else None
+        if cache_path and os.path.exists(cache_path):
+            match_cache = PrecomputedMatches(cache_path)
+        elif cfg.camera.matcher == "sift" and sift_available() and train.images is not None:
+            match_cache = build_match_cache(train.images, pair_list, SIFTMatcher(), cache_path)
+        else:
+            match_cache = PrecomputedMatches(cache_path)
+
+    logger = MetricLogger(expdir, use_wandb=cfg.logging.use_wandb) if expdir else None
+    if logger:
+        logger.snapshot_config(cfg.to_json())
+    return NerfPPExperiment(
+        cfg=cfg, state=state, step_fn=step_fn, step_prd_fn=step_prd_fn,
+        model_cfg=model_cfg, render_cfg=render_cfg, curriculum=curriculum,
+        train_data=train, match_cache=match_cache, pair_list=pair_list,
+        rng=rng, logger=logger,
+    )
+
+
+def nerfpp_sample_batch(exp: NerfPPExperiment) -> dict:
+    cfg = exp.cfg
+    train = exp.train_data
+    n_rand = cfg.sampling.N_rand
+    img_i = exp.rng.randint(0, train.poses.shape[0])
+    px, py = sample_pixels(exp.rng, train.H, train.W, n_rand)
+    target = train.images[img_i, py.astype(np.int64), px.astype(np.int64)]
+    return {
+        "px": jnp.asarray(px),
+        "py": jnp.asarray(py),
+        "img_idx": jnp.asarray(img_i),
+        "target": jnp.asarray(target, jnp.float32),
+        "min_depth": jnp.full((n_rand,), 1e-4),
+    }
+
+
+def run_nerfpp_training(cfg: ExperimentConfig, expdir: str, n_steps: int | None = None):
+    exp = build_nerfpp_experiment(cfg, expdir)
+    n_steps = n_steps if n_steps is not None else cfg.optim.N_iters
+    key = jax.random.key(cfg.logging.seed + 1)
+    ckpt_dir = os.path.join(expdir, "ckpts")
+    metrics = {}
+    for it in range(int(exp.state.step), n_steps):
+        batch = nerfpp_sample_batch(exp)
+        use_prd = (
+            exp.step_prd_fn is not None
+            and it >= exp.curriculum.add_prd
+            and it % exp.curriculum.i_ray_dist_loss == 0
+            and exp.pair_list is not None and len(exp.pair_list) > 0
+        )
+        if use_prd:
+            i, j = exp.pair_list[exp.rng.randint(0, len(exp.pair_list))]
+            m = exp.match_cache.get(int(i), int(j)) if exp.match_cache else None
+            if m is not None and m.kps0.shape[0] > 0:
+                kps0, kps1, mask = pad_matches(m, cfg.camera.match_num)
+                batch.update(
+                    kps0=jnp.asarray(kps0), kps1=jnp.asarray(kps1),
+                    kp_mask=jnp.asarray(mask), pair_idx=jnp.asarray([int(i), int(j)]),
+                )
+                exp.state, metrics = exp.step_prd_fn(exp.state, batch, jax.random.fold_in(key, it))
+            else:
+                exp.state, metrics = exp.step_fn(exp.state, batch, jax.random.fold_in(key, it))
+        else:
+            exp.state, metrics = exp.step_fn(exp.state, batch, jax.random.fold_in(key, it))
+        step_now = int(exp.state.step)
+        if exp.logger and step_now % cfg.logging.i_print == 0:
+            exp.logger.log(step_now, metrics)
+        if step_now % cfg.logging.i_weights == 0:
+            save_checkpoint(ckpt_dir, exp.state)
+    return exp.state, metrics

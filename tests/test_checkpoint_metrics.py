@@ -1,0 +1,92 @@
+"""Checkpoint round-trip / resume tests + SSIM golden checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scnerf_tpu.metrics.ssim import ssim
+from scnerf_tpu.train.checkpoint import (
+    list_checkpoint_steps,
+    merge_states,
+    restore_camera_partial,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+class TestSSIM:
+    def test_identical_images(self):
+        img = jax.random.uniform(jax.random.key(0), (32, 32, 3))
+        np.testing.assert_allclose(float(ssim(img, img)), 1.0, atol=1e-5)
+
+    def test_noise_lowers_ssim(self):
+        img = jax.random.uniform(jax.random.key(1), (32, 32, 3))
+        noisy = jnp.clip(img + jax.random.normal(jax.random.key(2), img.shape) * 0.2, 0, 1)
+        v = float(ssim(img, noisy))
+        assert 0.0 < v < 0.95
+
+    def test_constant_shift(self):
+        img = jnp.full((24, 24, 3), 0.5)
+        shifted = jnp.full((24, 24, 3), 0.6)
+        v = float(ssim(img, shifted))
+        # luminance term only: (2*0.5*0.6 + 1e-4) / (0.25 + 0.36 + 1e-4)
+        expect = (2 * 0.5 * 0.6 + 1e-4) / (0.25 + 0.36 + 1e-4)
+        np.testing.assert_allclose(v, expect, atol=1e-4)
+
+
+class TestCheckpoint:
+    def _make(self):
+        from tests.test_train import build
+
+        return build()
+
+    def test_roundtrip_and_resume(self, tmp_path):
+        state, step, batch = self._make()
+        key = jax.random.key(0)
+        for i in range(3):
+            state, _ = step(state, batch, jax.random.fold_in(key, i))
+        path = save_checkpoint(str(tmp_path), state)
+        assert list_checkpoint_steps(str(tmp_path)) == [3]
+
+        restored = restore_checkpoint(str(tmp_path), state)
+        assert int(restored.step) == 3
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Training continues identically from the restored state.
+        s1, m1 = step(state, batch, jax.random.fold_in(key, 99))
+        s2, m2 = step(restored, batch, jax.random.fold_in(key, 99))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+    def test_keep_prunes_old(self, tmp_path):
+        state, step, batch = self._make()
+        key = jax.random.key(1)
+        for i in range(4):
+            state, _ = step(state, batch, jax.random.fold_in(key, i))
+            save_checkpoint(str(tmp_path), state, keep=2)
+        assert list_checkpoint_steps(str(tmp_path)) == [3, 4]
+
+    def test_restore_none_when_empty(self, tmp_path):
+        state, _, _ = self._make()
+        assert restore_checkpoint(str(tmp_path / "nope"), state) is None
+
+    def test_merge_states_shape_guard(self):
+        state, _, _ = self._make()
+        other = jax.tree.map(lambda x: x + 1.0, state)
+        merged = merge_states(state, other)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(merged.params)[0]),
+            np.asarray(jax.tree.leaves(other.params)[0]),
+        )
+
+    def test_partial_camera_restore(self):
+        state, _, _ = self._make()
+        cam = state.params["camera"]
+        trained = cam.replace(
+            intrinsics_noise=jnp.ones(4),
+            extrinsics_noise=jnp.ones_like(cam.extrinsics_noise),
+        )
+        merged = restore_camera_partial(cam, trained, skip_extrinsics=True)
+        np.testing.assert_array_equal(np.asarray(merged.intrinsics_noise), np.ones(4))
+        np.testing.assert_array_equal(
+            np.asarray(merged.extrinsics_noise), np.zeros_like(cam.extrinsics_noise)
+        )

@@ -1,0 +1,196 @@
+"""Driver + config-system tests: reference txt configs parse into the typed
+tree; the full loop (build -> train -> eval) runs on synthetic datasets."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scnerf_tpu.core.config import (
+    experiment_from_flags,
+    load_experiment,
+    parse_config_file,
+)
+
+
+class TestConfig:
+    def test_parse_reference_style_txt(self, tmp_path):
+        txt = """
+        expname = fern_ours
+        datadir = ./data/nerf_llff_data/fern
+        dataset_type = llff
+        factor = 8
+        llffhold = 8
+        N_rand = 1024
+        N_samples = 64
+        N_importance = 64
+        use_viewdirs = True
+        raw_noise_std = 1e0
+        camera_model = pinhole_rot_noise_10k_rayo_rayd
+        ray_loss_type = proj_ray_dist
+        ray_dist_loss_weight = 0.0001
+        add_ie = 200000
+        add_od = 400000
+        add_prd = 600000
+        grid_size = 10
+        use_custom_optim = True
+        non_linear_weight_decay = 0.1
+        lrate_decay = 250
+        """
+        p = tmp_path / "fern.txt"
+        p.write_text(txt)
+        flags = parse_config_file(str(p))
+        assert flags["N_rand"] == 1024
+        assert flags["raw_noise_std"] == 1.0
+        cfg = load_experiment(str(p), warn=lambda *a: None)
+        assert cfg.logging.expname == "fern_ours"
+        assert cfg.dataset.dataset_type == "llff"
+        assert cfg.sampling.N_rand == 1024
+        assert cfg.camera.camera_model == "pinhole_rot_noise_10k_rayo_rayd"
+        assert cfg.camera.use_camera and not cfg.camera.use_distortion
+        assert cfg.camera.add_od == 400000
+        assert cfg.optim.non_linear_weight_decay == 0.1
+
+    def test_nerfpp_flags(self):
+        cfg = experiment_from_flags(
+            {
+                "dataset_type": "nerfpp",
+                "cascade_samples": "64,128",
+                "chunk_size": 4096,
+                "max_freq_log2": 10,
+                "normalize_factor": 3.0,
+                "camera_model": "pinhole_rot_noise_10k_rayo_rayd_dist",
+            },
+            warn=lambda *a: None,
+        )
+        assert cfg.model.cascade_samples == (64, 128)
+        assert cfg.sampling.chunk == 4096
+        assert cfg.dataset.normalize_factor == 3.0
+        assert cfg.camera.use_distortion
+
+    def test_unknown_flags_warn_not_fail(self):
+        warnings = []
+        cfg = experiment_from_flags({"bogus_flag": 3}, warn=lambda m: warnings.append(m))
+        assert len(warnings) == 1
+
+    def test_json_snapshot_roundtrip(self):
+        cfg = experiment_from_flags({"N_rand": 77}, warn=lambda *a: None)
+        data = json.loads(cfg.to_json())
+        assert data["sampling"]["N_rand"] == 77
+
+
+@pytest.mark.slow
+class TestDriverEndToEnd:
+    def test_blender_driver_with_camera(self, tmp_path):
+        from tests.test_data import write_png
+        from scnerf_tpu.data.blender import pose_spherical
+
+        rng = np.random.RandomState(0)
+        root = tmp_path / "ds"
+        H = W = 16
+        for split, n in [("train", 3), ("val", 1), ("test", 1)]:
+            os.makedirs(root / split, exist_ok=True)
+            frames = []
+            for i in range(n):
+                pose = np.array(pose_spherical(i * 40.0, -30.0, 4.0))
+                img = np.zeros((H, W, 4))
+                img[4:12, 4:12, :3] = [1.0, 0.4, 0.2]
+                img[..., 3] = 1
+                write_png(root / split / f"r_{i}.png", img)
+                frames.append(
+                    {"file_path": f"./{split}/r_{i}", "transform_matrix": pose.tolist()}
+                )
+            (root / f"transforms_{split}.json").write_text(
+                json.dumps({"camera_angle_x": 0.69, "frames": frames})
+            )
+
+        flags = {
+            "dataset_type": "blender",
+            "datadir": str(root),
+            "white_bkgd": True,
+            "N_rand": 64,
+            "N_samples": 8,
+            "N_importance": 8,
+            "netdepth": 3,
+            "netwidth": 32,
+            "multires": 4,
+            "multires_views": 2,
+            "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
+            "ray_loss_type": "none",
+            "i_weights": 10,
+            "i_print": 5,
+            "expname": "t",
+            "basedir": str(tmp_path / "logs"),
+        }
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.driver import (
+            build_experiment,
+            evaluate_test_views,
+            train_loop,
+        )
+
+        cfg = experiment_from_flags(flags, warn=lambda *a: None)
+        expdir = str(tmp_path / "logs" / "t")
+        os.makedirs(expdir, exist_ok=True)
+        exp = build_experiment(cfg, expdir)
+        state, metrics = train_loop(exp, n_steps=12, ckpt_dir=str(tmp_path / "ck"))
+        assert int(state.step) == 12
+        assert np.isfinite(float(metrics["loss"]))
+        # checkpoint written at step 10
+        from scnerf_tpu.train.checkpoint import list_checkpoint_steps
+
+        assert list_checkpoint_steps(str(tmp_path / "ck")) == [10]
+        # metrics.jsonl written
+        lines = open(os.path.join(expdir, "metrics.jsonl")).read().strip().splitlines()
+        assert len(lines) >= 2
+        res = evaluate_test_views(exp)
+        assert res["n_views"] == 1 and np.isfinite(res["psnr"]) and -1 <= res["ssim"] <= 1
+
+    def test_nerfpp_driver(self, tmp_path):
+        from tests.test_data import write_png
+
+        rng = np.random.RandomState(3)
+        root = tmp_path / "tat"
+        H = W = 16
+        for split, n in [("train", 3)]:
+            for sub in ["rgb", "intrinsics", "pose"]:
+                os.makedirs(root / split / sub, exist_ok=True)
+            for i in range(n):
+                write_png(root / split / "rgb" / f"{i:05d}.png", rng.rand(H, W, 3))
+                K = np.eye(4)
+                K[0, 0] = K[1, 1] = 14.0
+                K[0, 2], K[1, 2] = W / 2, H / 2
+                (root / split / "intrinsics" / f"{i:05d}.txt").write_text(
+                    " ".join(map(str, K.reshape(-1)))
+                )
+                pose = np.eye(4)
+                pose[:3, 3] = [0.05 * i, 0.0, -0.3]
+                (root / split / "pose" / f"{i:05d}.txt").write_text(
+                    " ".join(map(str, pose.reshape(-1)))
+                )
+        flags = {
+            "dataset_type": "nerfpp",
+            "datadir": str(root),
+            "N_rand": 32,
+            "cascade_samples": "8,8",
+            "cascade_level": 2,
+            "netdepth": 3,
+            "netwidth": 32,
+            "max_freq_log2": 4,
+            "max_freq_log2_viewdirs": 2,
+            "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
+            "autoexpo": True,
+            "i_weights": 1000,
+            "i_print": 2,
+            "expname": "tt",
+            "basedir": str(tmp_path / "logs"),
+        }
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.nerfpp_driver import run_nerfpp_training
+
+        cfg = experiment_from_flags(flags, warn=lambda *a: None)
+        expdir = str(tmp_path / "logs" / "tt")
+        os.makedirs(expdir, exist_ok=True)
+        state, metrics = run_nerfpp_training(cfg, expdir, n_steps=6)
+        assert int(state.step) == 6
+        assert np.isfinite(float(metrics["loss"]))

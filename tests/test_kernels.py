@@ -1,0 +1,89 @@
+"""Pallas kernel tests.
+
+On the CPU test platform the kernels run in interpreter mode (Mosaic
+compiles only on TPU); numerics are identical, so the oracle comparisons
+hold on both. The TPU compile path is exercised by bench.py and the verify
+recipe.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from scnerf_tpu.kernels.pdf_pallas import sample_pdf_pallas_core
+from scnerf_tpu.kernels.searchsorted_pallas import searchsorted_pallas
+from scnerf_tpu.sampling.pdf import sample_pdf
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+class TestSearchsortedPallas:
+    @pytest.mark.parametrize("side", ["left", "right"])
+    def test_vs_numpy(self, side):
+        rng = np.random.RandomState(0)
+        a = np.sort(rng.rand(64, 63).astype(np.float32), axis=-1)
+        v = rng.rand(64, 64).astype(np.float32)
+        got = np.asarray(searchsorted_pallas(jnp.asarray(a), jnp.asarray(v), side))
+        want = np.stack([np.searchsorted(a[i], v[i], side=side) for i in range(64)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_non_divisible_rows(self):
+        rng = np.random.RandomState(1)
+        a = np.sort(rng.rand(100, 33).astype(np.float32), axis=-1)
+        v = rng.rand(100, 17).astype(np.float32)
+        got = np.asarray(
+            searchsorted_pallas(jnp.asarray(a), jnp.asarray(v), "right", row_block=32)
+        )
+        want = np.stack([np.searchsorted(a[i], v[i], side="right") for i in range(100)])
+        np.testing.assert_array_equal(got, want)
+
+
+class TestPdfPallas:
+    def test_matches_baseline_sample_pdf(self):
+        rng = np.random.RandomState(2)
+        B = 64
+        bins = jnp.asarray(np.sort(rng.rand(B, 63).astype(np.float32) * 4 + 1, axis=-1))
+        weights = jnp.asarray(rng.rand(B, 62).astype(np.float32))
+        u = jnp.asarray(rng.rand(B, 64).astype(np.float32))
+
+        got = np.asarray(sample_pdf_pallas_core(bins, weights, u))
+
+        # Baseline with identical u (reimplement the tail of sample_pdf).
+        wp = weights + 1e-5
+        pdf = wp / jnp.sum(wp, -1, keepdims=True)
+        cdf = jnp.concatenate([jnp.zeros((B, 1)), jnp.cumsum(pdf, -1)], -1)
+        from scnerf_tpu.sampling.searchsorted import searchsorted
+
+        inds = searchsorted(cdf, u, side="right")
+        below = jnp.maximum(inds - 1, 0)
+        above = jnp.minimum(inds, 62)
+        cb = jnp.take_along_axis(cdf, below, -1)
+        ca = jnp.take_along_axis(cdf, above, -1)
+        bb = jnp.take_along_axis(bins, below, -1)
+        ba = jnp.take_along_axis(bins, above, -1)
+        den = jnp.where(ca - cb < 1e-5, 1.0, ca - cb)
+        want = np.asarray(bb + (u - cb) / den * (ba - bb))
+
+        err = np.abs(got - want)
+        # Boundary-index flips (u within float-eps of a cdf edge, different
+        # cumsum association order) may move a tiny fraction of samples to
+        # the adjacent bin; everything else matches tightly.
+        assert np.median(err) < 1e-6
+        assert (err > 1e-4).mean() < 1e-3
+        assert got.min() >= float(bins.min()) - 1e-5
+        assert got.max() <= float(bins.max()) + 1e-5
+
+    def test_det_uniform_weights(self):
+        bins = jnp.linspace(0.0, 1.0, 63)[None].repeat(8, 0)
+        weights = jnp.ones((8, 62))
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 64), (8, 64))
+        got = np.asarray(sample_pdf_pallas_core(bins, weights, u))
+        np.testing.assert_allclose(got[0], np.linspace(0, 1, 64), atol=1e-4)

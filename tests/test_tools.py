@@ -1,0 +1,203 @@
+"""Offline-tooling tests: COLMAP binary IO round-trip, calibration baselines
+on synthetic scenes, visualizer outputs."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from scnerf_tpu.tools.calibration_baselines import (
+    _eight_point,
+    classical_kruppa,
+    fundamental_from_matches,
+    mendonca,
+    simple_kruppa,
+    skew,
+)
+from scnerf_tpu.tools.colmap import (
+    colmap_to_c2w,
+    normalize_cameras_to_unit_sphere,
+    qvec2rotmat,
+    read_cameras_bin,
+    read_images_bin,
+    read_points3d_bin,
+    sparse_to_poses_bounds,
+)
+from scnerf_tpu.tools.visualize import (
+    epipolar_lines,
+    frustum_corners,
+    radial_distortion_field,
+    rays_to_pointcloud,
+)
+
+
+def write_synthetic_sparse(d):
+    """Write a minimal COLMAP binary sparse model (2 images, 1 camera, 3 pts)."""
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 64, 48))  # PINHOLE
+        f.write(struct.pack("<4d", 50.0, 50.0, 32.0, 24.0))
+    qs = [np.array([1.0, 0, 0, 0]), np.array([0.9238795, 0, 0.3826834, 0])]
+    ts = [np.array([0.0, 0, 4.0]), np.array([0.5, 0, 4.0])]
+    with open(os.path.join(d, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for i in range(2):
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<4d", *qs[i]))
+            f.write(struct.pack("<3d", *ts[i]))
+            f.write(struct.pack("<i", 1))
+            f.write(f"im_{i}.png".encode() + b"\x00")
+            f.write(struct.pack("<Q", 2))
+            for p in range(2):
+                f.write(struct.pack("<dd", 10.0 + p, 20.0 + p))
+                f.write(struct.pack("<q", p + 1))
+    with open(os.path.join(d, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 3))
+        for pid in range(1, 4):
+            f.write(struct.pack("<Q", pid))
+            f.write(struct.pack("<3d", 0.1 * pid, 0.2, 1.0 + 0.5 * pid))
+            f.write(struct.pack("<3B", 255, 0, 0))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<ii", 1, 0))
+
+
+class TestColmapIO:
+    def test_read_roundtrip(self, tmp_path):
+        write_synthetic_sparse(str(tmp_path))
+        cams = read_cameras_bin(str(tmp_path / "cameras.bin"))
+        assert cams[1].model == "PINHOLE" and cams[1].width == 64
+        np.testing.assert_allclose(cams[1].params, [50, 50, 32, 24])
+        imgs = read_images_bin(str(tmp_path / "images.bin"))
+        assert len(imgs) == 2 and imgs[1].name == "im_0.png"
+        np.testing.assert_array_equal(imgs[1].point3D_ids, [1, 2])
+        pts = read_points3d_bin(str(tmp_path / "points3D.bin"))
+        np.testing.assert_allclose(pts[2], [0.2, 0.2, 2.0])
+
+    def test_qvec_and_c2w(self):
+        R = qvec2rotmat(np.array([1.0, 0, 0, 0]))
+        np.testing.assert_allclose(R, np.eye(3), atol=1e-12)
+        from scnerf_tpu.tools.colmap import ColmapImage
+
+        img = ColmapImage(1, np.array([1.0, 0, 0, 0]), np.array([1.0, 2, 3]), 1, "x",
+                          np.zeros((0, 2)), np.zeros(0, np.int64))
+        c2w = colmap_to_c2w(img)
+        np.testing.assert_allclose(c2w[:3, 3], [-1, -2, -3], atol=1e-12)
+
+    def test_poses_bounds_shape(self, tmp_path):
+        write_synthetic_sparse(str(tmp_path))
+        arr = sparse_to_poses_bounds(str(tmp_path))
+        assert arr.shape == (2, 17)
+        # hwf stored in column 4 of the 3x5 block
+        block = arr[0, :15].reshape(3, 5)
+        np.testing.assert_allclose(block[:, 4], [48, 64, 50])
+        assert arr[0, 15] < arr[0, 16]  # near < far
+
+    def test_normalize_unit_sphere(self):
+        poses = np.eye(4)[None].repeat(3, 0)
+        poses[:, :3, 3] = [[10, 0, 0], [0, 20, 0], [0, 0, 5]]
+        out, s, t = normalize_cameras_to_unit_sphere(poses)
+        assert np.linalg.norm(out[:, :3, 3], axis=1).max() <= 1.0 + 1e-6
+
+
+def synthetic_fundamental_scene(n_views=4, n_pts=60, f=400.0, W=640, H=480, seed=0):
+    """Known-K multi-view scene -> exact fundamental matrices + matches."""
+    rng = np.random.RandomState(seed)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    pts = rng.randn(n_pts, 3) * [1.0, 0.8, 0.4] + [0, 0, 6.0]
+    poses = []
+    for i in range(n_views):
+        ang = 0.15 * i
+        R = np.array(
+            [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]]
+        )
+        t = np.array([0.8 * i, 0.05 * i, 0.0])
+        poses.append((R, t))  # w2c
+
+    def project(R, t):
+        cam = pts @ R.T + t
+        pix = cam @ K.T
+        return pix[:, :2] / pix[:, 2:3]
+
+    fundamental = {}
+    for i in range(n_views):
+        fundamental[i] = {}
+    for i in range(n_views):
+        for j in range(n_views):
+            if i >= j:
+                continue
+            Ri, ti = poses[i]
+            Rj, tj = poses[j]
+            # relative: x_j = R_rel x_i + t_rel
+            R_rel = Rj @ Ri.T
+            t_rel = tj - R_rel @ ti
+            E = skew(t_rel) @ R_rel
+            F = np.linalg.inv(K).T @ E @ np.linalg.inv(K)
+            fundamental[i][j] = F / np.linalg.norm(F)
+    return K, fundamental, poses, pts, project
+
+
+class TestCalibrationBaselines:
+    def test_mendonca_zero_residual_at_gt(self):
+        K, fundamental, *_ = synthetic_fundamental_scene()
+        x = mendonca([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], fundamental)
+        # GT intrinsics are a fixed point: refined values stay close.
+        np.testing.assert_allclose(x[0], K[0, 0], rtol=0.05)
+        np.testing.assert_allclose(x[1], K[1, 1], rtol=0.05)
+
+    def test_kruppa_refines_perturbed_focal(self):
+        K, fundamental, *_ = synthetic_fundamental_scene()
+        x0 = [K[0, 0] * 1.2, K[1, 1] * 1.2, K[0, 2], K[1, 2]]
+        x = classical_kruppa(x0, fundamental)
+        err_init = abs(x0[0] - K[0, 0])
+        err_out = abs(x[0] - K[0, 0])
+        assert err_out < err_init
+
+    def test_simple_kruppa_runs(self):
+        K, fundamental, *_ = synthetic_fundamental_scene()
+        x = simple_kruppa([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], fundamental)
+        assert np.isfinite(x).all()
+
+    def test_eight_point_epipolar_constraint(self):
+        K, fundamental, poses, pts, project = synthetic_fundamental_scene()
+        p0 = project(*poses[0])
+        p1 = project(*poses[1])
+        F = _eight_point(p0, p1)
+        ph0 = np.concatenate([p0, np.ones((len(p0), 1))], 1)
+        ph1 = np.concatenate([p1, np.ones((len(p1), 1))], 1)
+        resid = np.abs(np.einsum("ni,ij,nj->n", ph1, F, ph0))
+        assert resid.max() < 1e-4 * np.abs(F).max() * 1e3  # small algebraic resid
+
+
+class TestVisualize:
+    def test_frustum_corners(self):
+        K = np.array([[50.0, 0, 32, 0], [0, 50, 24, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+        c2w = np.eye(4)
+        pts = frustum_corners(K, c2w, 64, 48)
+        assert pts.shape == (5, 3)
+        np.testing.assert_allclose(pts[0], 0.0)
+
+    def test_epipolar_lines_contain_match(self):
+        K, fundamental, poses, pts, project = synthetic_fundamental_scene()
+        F = fundamental[0][1] * np.linalg.norm(fundamental[0][1])
+        F = fundamental[0][1]
+        p0 = project(*poses[0])[:5]
+        p1 = project(*poses[1])[:5]
+        segs = epipolar_lines(F, p0, (480, 640))
+        assert segs.shape == (5, 2, 2)
+        # each epipolar line should pass near the true correspondence
+        for k in range(5):
+            (x0, y0), (x1, y1) = segs[k]
+            d = np.abs((y1 - y0) * p1[k, 0] - (x1 - x0) * p1[k, 1] + x1 * y0 - y1 * x0)
+            d /= np.hypot(y1 - y0, x1 - x0)
+            assert d < 1.0
+
+    def test_radial_field(self):
+        field = radial_distortion_field(np.array([0.1, 0.01]), 48, 64)
+        assert field.shape == (48, 64)
+        assert field[24, 32] < field[0, 0]  # grows toward corners
+
+    def test_pointcloud_shape(self):
+        pc = rays_to_pointcloud(np.zeros((4, 3)), np.ones((4, 3)), [1.0, 2.0])
+        assert pc.shape == (8, 3)
