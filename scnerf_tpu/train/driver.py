@@ -299,12 +299,26 @@ def sample_prd_batch(exp: NerfExperiment) -> dict | None:
     return None
 
 
-def train_loop(exp: NerfExperiment, n_steps: int | None = None, ckpt_dir: str | None = None):
-    """Run the optimization loop; returns final state and last metrics."""
+def train_loop(
+    exp: NerfExperiment,
+    n_steps: int | None = None,
+    ckpt_dir: str | None = None,
+    eval_hooks: bool = False,
+):
+    """Run the optimization loop; returns final state and last metrics.
+
+    With ``eval_hooks`` the reference's periodic side tasks run too:
+    ``i_testset`` test-split metrics (+PRD eval when a match cache exists),
+    ``i_img`` one validation render, ``camera_log`` camera diagnostics
+    (``run_nerf.py:643-900``).
+    """
+    from scnerf_tpu.train.profiling import StepTimer
+
     cfg = exp.cfg
     n_steps = n_steps if n_steps is not None else cfg.optim.N_iters
     key = jax.random.key(cfg.logging.seed + 1)
     metrics = {}
+    timer = StepTimer()
     start = int(exp.state.step)
     for it in range(start, n_steps):
         batch = sample_batch(exp, it)
@@ -313,24 +327,72 @@ def train_loop(exp: NerfExperiment, n_steps: int | None = None, ckpt_dir: str | 
             and it >= exp.curriculum.add_prd
             and it % exp.curriculum.i_ray_dist_loss == 0
         )
-        if use_prd:
-            prd_batch = sample_prd_batch(exp)
-            if prd_batch is not None and "px" in batch:
-                batch = dict(batch, **prd_batch)
-                exp.state, metrics = exp.step_prd_fn(
+        with timer:
+            if use_prd:
+                prd_batch = sample_prd_batch(exp)
+                if prd_batch is not None and "px" in batch:
+                    batch = dict(batch, **prd_batch)
+                    exp.state, metrics = exp.step_prd_fn(
+                        exp.state, batch, jax.random.fold_in(key, it)
+                    )
+                else:
+                    exp.state, metrics = exp.step_fn(
+                        exp.state, batch, jax.random.fold_in(key, it)
+                    )
+            else:
+                exp.state, metrics = exp.step_fn(
                     exp.state, batch, jax.random.fold_in(key, it)
                 )
-            else:
-                exp.state, metrics = exp.step_fn(exp.state, batch, jax.random.fold_in(key, it))
-        else:
-            exp.state, metrics = exp.step_fn(exp.state, batch, jax.random.fold_in(key, it))
 
         step_now = int(exp.state.step)
         if exp.logger and step_now % cfg.logging.i_print == 0:
-            exp.logger.log(step_now, metrics)
+            row = dict(metrics)
+            row.update(timer.summary())
+            exp.logger.log(step_now, row)
         if ckpt_dir and step_now % cfg.logging.i_weights == 0:
             save_checkpoint(ckpt_dir, exp.state)
+        if eval_hooks and exp.logger:
+            if step_now % cfg.logging.i_testset == 0:
+                res = evaluate_test_views(exp, max_views=2)
+                res.update(evaluate_prd(exp))
+                exp.logger.log(step_now, {f"test/{k}": v for k, v in res.items()})
+            if step_now % cfg.logging.camera_log == 0 and exp.state.params.get("camera") is not None:
+                from scnerf_tpu.camera.model import camera_log_dict
+
+                exp.logger.log(
+                    step_now,
+                    camera_log_dict(
+                        exp.state.params["camera"], gt_K=exp.gt_intrinsic
+                    ),
+                )
     return exp.state, metrics
+
+
+def evaluate_prd(exp: NerfExperiment, mode: str = "val") -> dict:
+    """PRD evaluation over the train-split feasible pairs (the reference's
+    ``projected_ray_distance_evaluation``; a richer split-aware variant can
+    pass GT ray functions for the val/test filter)."""
+    if exp.match_cache is None or exp.pair_list is None or len(exp.pair_list) == 0:
+        return {}
+    from scnerf_tpu.camera.model import get_extrinsics, get_intrinsic
+    from scnerf_tpu.losses.prd_eval import prd_evaluation
+
+    camera = exp.state.params.get("camera")
+    if camera is None:
+        return {}
+
+    def rays_eval(kps, idx):
+        return pixels_to_rays(camera, kps[:, 0], kps[:, 1], image_idx=idx)
+
+    K = get_intrinsic(camera)
+    E = get_extrinsics(camera)
+    val = prd_evaluation(
+        exp.pair_list, exp.match_cache, rays_eval, K, E,
+        mode="train", method="NeRF",
+        max_matches=exp.cfg.camera.match_num,
+        threshold=exp.cfg.camera.proj_ray_dist_threshold,
+    )
+    return {"prd": val} if np.isfinite(val) else {}
 
 
 def aligned_eval_extrinsic(exp: NerfExperiment, image_idx: int) -> jnp.ndarray:

@@ -1,0 +1,140 @@
+"""Auxiliary-subsystem tests: profiling, rng, imaging, eval hooks, LPIPS gating."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scnerf_tpu.core.imaging import colorize_depth, to8b
+from scnerf_tpu.core.rng import fix_seeds, step_key
+from scnerf_tpu.metrics.lpips import lpips, lpips_available
+from scnerf_tpu.train.profiling import StepTimer, check_finite_tree, debug_nans
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        t = StepTimer(warmup=1)
+        for _ in range(4):
+            with t:
+                pass
+        s = t.summary()
+        assert s["steps"] == 3 and s["mean_ms"] >= 0
+
+    def test_check_finite_tree(self):
+        tree = {"a": jnp.ones(3), "b": {"c": jnp.array([1.0, np.nan])}}
+        bad = check_finite_tree(tree)
+        assert bad == ["b.c"]
+        assert check_finite_tree({"x": jnp.zeros(2)}) == []
+
+    def test_debug_nans_scoped(self):
+        prev = jax.config.jax_debug_nans
+        with debug_nans(True):
+            assert jax.config.jax_debug_nans
+        assert jax.config.jax_debug_nans == prev
+
+
+class TestRng:
+    def test_fix_seeds_reproducible(self):
+        r1 = fix_seeds(7).rand(5)
+        r2 = fix_seeds(7).rand(5)
+        np.testing.assert_array_equal(r1, r2)
+
+    def test_step_keys_distinct(self):
+        k = jax.random.key(0)
+        a = jax.random.uniform(step_key(k, 1))
+        b = jax.random.uniform(step_key(k, 2))
+        assert float(a) != float(b)
+
+
+class TestImaging:
+    def test_to8b(self):
+        np.testing.assert_array_equal(to8b(np.array([-1.0, 0.5, 2.0])), [0, 127, 255])
+
+    def test_colorize_depth(self):
+        d = np.linspace(0, 1, 64).reshape(8, 8)
+        rgb = colorize_depth(d)
+        assert rgb.shape == (8, 8, 3)
+        assert rgb.min() >= 0 and rgb.max() <= 1
+        mask = np.zeros((8, 8))
+        mask[:4] = 1
+        rgb2 = colorize_depth(d, mask=mask)
+        np.testing.assert_allclose(rgb2[6, 3], [1, 1, 1])  # masked -> white
+
+
+class TestLpipsGating:
+    def test_unavailable_without_weights(self):
+        assert not lpips_available("/nonexistent/path.npz")
+
+    def test_lpips_with_synthetic_weights(self, tmp_path):
+        """Structure check with tiny random weights: identical images -> 0."""
+        rng = np.random.RandomState(0)
+        weights = {"shift": np.zeros(3, np.float32), "scale": np.ones(3, np.float32)}
+        plan = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+        cin = 3
+        for i, cout in enumerate(plan):
+            weights[f"conv{i}_w"] = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.05
+            weights[f"conv{i}_b"] = np.zeros(cout, np.float32)
+            cin = cout
+        for j, c in enumerate([64, 128, 256, 512, 512]):
+            weights[f"lin{j}_w"] = np.abs(rng.randn(c)).astype(np.float32)
+        path = str(tmp_path / "w.npz")
+        np.savez(path, **weights)
+        from scnerf_tpu.metrics.lpips import load_weights
+
+        w = load_weights(path)
+        img = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32))
+        assert float(lpips(img, img, w)) < 1e-6
+        img2 = jnp.clip(img + 0.3 * jnp.asarray(rng.rand(64, 64, 3)), 0, 1)
+        assert float(lpips(img, img2, w)) > 0
+
+
+class TestEvalHooks:
+    def test_train_loop_with_hooks(self, tmp_path):
+        import json
+        from tests.test_driver import TestDriverEndToEnd
+
+        # reuse the blender fixture builder inline
+        from tests.test_data import write_png
+        from scnerf_tpu.data.blender import pose_spherical
+
+        root = tmp_path / "ds"
+        H = W = 16
+        for split, n in [("train", 3), ("val", 1), ("test", 1)]:
+            os.makedirs(root / split, exist_ok=True)
+            frames = []
+            for i in range(n):
+                pose = np.array(pose_spherical(i * 40.0, -30.0, 4.0))
+                img = np.zeros((H, W, 4))
+                img[4:12, 4:12, :3] = [1.0, 0.4, 0.2]
+                img[..., 3] = 1
+                write_png(root / split / f"r_{i}.png", img)
+                frames.append({"file_path": f"./{split}/r_{i}", "transform_matrix": pose.tolist()})
+            (root / f"transforms_{split}.json").write_text(
+                json.dumps({"camera_angle_x": 0.69, "frames": frames})
+            )
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.driver import build_experiment, train_loop
+
+        cfg = experiment_from_flags(
+            {
+                "dataset_type": "blender", "datadir": str(root), "white_bkgd": True,
+                "N_rand": 32, "N_samples": 8, "N_importance": 8, "netdepth": 3,
+                "netwidth": 32, "multires": 4, "multires_views": 2,
+                "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
+                "i_print": 2, "i_testset": 4, "camera_log": 4, "i_weights": 1000,
+                "expname": "hooks", "basedir": str(tmp_path / "logs"),
+            },
+            warn=lambda *a: None,
+        )
+        expdir = str(tmp_path / "logs" / "hooks")
+        os.makedirs(expdir, exist_ok=True)
+        exp = build_experiment(cfg, expdir)
+        train_loop(exp, n_steps=4, eval_hooks=True)
+        lines = [
+            json.loads(l)
+            for l in open(os.path.join(expdir, "metrics.jsonl")).read().splitlines()
+        ]
+        keys = set().union(*[set(l.keys()) for l in lines])
+        assert "test/psnr" in keys
+        assert "camera/fx" in keys
+        assert "mean_ms" in keys
