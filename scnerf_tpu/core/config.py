@@ -140,6 +140,10 @@ class OptimConfig:
     use_custom_optim: bool = False
     non_linear_weight_decay: float = 0.0
     N_iters: int = 200_001
+    # camera-transfer (reference load_camera/load_test): checkpoint dir to
+    # pull calibrated camera fields from; load_test also copies extrinsics.
+    load_camera_path: str = ""
+    load_test: bool = False
 
 
 @dataclass

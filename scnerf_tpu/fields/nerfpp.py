@@ -83,6 +83,30 @@ def mlpnet_apply(params, cfg: NerfPPConfig, pts_enc, views_enc):
     return rgb, sigma
 
 
+def mlpnet_apply_chunked(params, cfg: NerfPPConfig, pts_enc, views_enc, chunk: int):
+    """Sample-chunked remat variant of :func:`mlpnet_apply` (same HBM-
+    bandwidth rationale as ``fields/nerf.py:query_field_chunked``)."""
+    S = pts_enc.shape[-2]
+    if chunk <= 0 or S % chunk != 0 or S == chunk:
+        return mlpnet_apply(params, cfg, pts_enc, views_enc)
+    n_chunks = S // chunk
+    lead = pts_enc.shape[:-2]
+
+    def to_chunks(x):
+        return jnp.moveaxis(x.reshape(*lead, n_chunks, chunk, x.shape[-1]), -3, 0)
+
+    apply_fn = jax.checkpoint(lambda p, pe, ve: mlpnet_apply(p, cfg, pe, ve))
+
+    def body(_, xs):
+        pe, ve = xs
+        return None, apply_fn(params, pe, ve)
+
+    _, (rgb, sigma) = jax.lax.scan(body, None, (to_chunks(pts_enc), to_chunks(views_enc)))
+    rgb = jnp.moveaxis(rgb, 0, -3).reshape(*lead, S, 3)
+    sigma = jnp.moveaxis(sigma, 0, -2).reshape(*lead, S)
+    return rgb, sigma
+
+
 def init_nerfpp_net(key, cfg: NerfPPConfig, n_images: int = 0, autoexpo: bool = False):
     k_fg, k_bg = jax.random.split(key)
     params = {
@@ -104,6 +128,7 @@ def nerfpp_forward(
     fg_z_max: jnp.ndarray,
     fg_z_vals: jnp.ndarray,
     bg_z_vals: jnp.ndarray,
+    remat_chunk: int = 0,
 ):
     """Joint fg/bg render of one cascade level (``ddp_model.py:74-143``).
 
@@ -124,7 +149,7 @@ def nerfpp_forward(
     fg_pts = ray_o[..., None, :] + fg_z_vals[..., None] * ray_d[..., None, :]
     fg_enc = positional_encoding(fg_pts, cfg.pos_encoding(3))
     fg_views = jnp.broadcast_to(views_enc[..., None, :], fg_enc.shape[:-1] + (views_enc.shape[-1],))
-    fg_rgb, fg_sigma = mlpnet_apply(params["fg"], cfg, fg_enc, fg_views)
+    fg_rgb, fg_sigma = mlpnet_apply_chunked(params["fg"], cfg, fg_enc, fg_views, remat_chunk)
 
     fg_dists = fg_z_vals[..., 1:] - fg_z_vals[..., :-1]
     fg_dists = ray_d_norm * jnp.concatenate(
@@ -152,7 +177,7 @@ def nerfpp_forward(
     bg_dists = jnp.concatenate(
         [bg_dists, jnp.full_like(bg_dists[..., :1], HUGE_NUMBER)], axis=-1
     )
-    bg_rgb, bg_sigma = mlpnet_apply(params["bg"], cfg, bg_enc, bg_views)
+    bg_rgb, bg_sigma = mlpnet_apply_chunked(params["bg"], cfg, bg_enc, bg_views, remat_chunk)
     bg_alpha = 1.0 - jnp.exp(-bg_sigma * bg_dists)
     T = jnp.cumprod(1.0 - bg_alpha + TINY_NUMBER, axis=-1)[..., :-1]
     T = jnp.concatenate([jnp.ones_like(T[..., :1]), T], axis=-1)

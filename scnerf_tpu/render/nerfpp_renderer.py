@@ -24,6 +24,8 @@ class NerfPPRenderConfig:
     cascade_samples: tuple = static_field(default=(64, 64))
     perturb: bool = static_field(default=True)
     chunk: int = static_field(default=4096)
+    # Sample-chunked remat of MLP queries (see fields/nerf.py rationale).
+    remat_chunk: int = static_field(default=16)
 
 
 def render_rays_nerfpp(
@@ -68,7 +70,8 @@ def render_rays_nerfpp(
             bg_depth = jnp.sort(jnp.concatenate([bg_depth, bg_new], axis=-1), axis=-1)
 
         ret = nerfpp_forward(
-            level_params[m], model_cfg, ray_o, ray_d, fg_far, fg_depth, bg_depth
+            level_params[m], model_cfg, ray_o, ray_d, fg_far, fg_depth, bg_depth,
+            remat_chunk=render_cfg.remat_chunk,
         )
         outs.append(ret)
     return outs

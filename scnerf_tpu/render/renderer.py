@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from scnerf_tpu.core.pytree import pytree_dataclass, static_field
-from scnerf_tpu.fields.nerf import NeRFConfig, query_field
+from scnerf_tpu.fields.nerf import NeRFConfig, query_field, query_field_chunked
 from scnerf_tpu.render.composite import raw2outputs
 from scnerf_tpu.sampling.pdf import sample_pdf
 from scnerf_tpu.sampling.stratified import stratified_z_vals
@@ -40,6 +40,10 @@ class RenderConfig:
     # Inverse-CDF implementation: "auto" uses the fused Pallas kernel on TPU
     # and the XLA path elsewhere; "xla" / "pallas" force one.
     pdf_impl: str = static_field(default="auto")
+    # Sample-chunked rematerialized field queries (0 = off). Cuts the HBM
+    # traffic of stored MLP activations in the backward pass; see
+    # fields/nerf.py:query_field_chunked.
+    remat_chunk: int = static_field(default=16)
 
     def eval_mode(self) -> "RenderConfig":
         """Test-time overrides (``create_nerf.py:86-90``): no jitter/noise."""
@@ -78,7 +82,9 @@ def render_rays(
         lindisp=render_cfg.lindisp, perturb=render_cfg.perturb,
     )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-    raw = query_field(params["coarse"], model_cfg, pts, viewdirs)
+    raw = query_field_chunked(
+        params["coarse"], model_cfg, pts, viewdirs, render_cfg.remat_chunk
+    )
     coarse = raw2outputs(
         raw, z_vals, rays_d,
         raw_noise_std=render_cfg.raw_noise_std,
@@ -116,7 +122,9 @@ def render_rays(
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
         fine_params = params.get("fine") or params["coarse"]
-        raw = query_field(fine_params, model_cfg, pts, viewdirs)
+        raw = query_field_chunked(
+            fine_params, model_cfg, pts, viewdirs, render_cfg.remat_chunk
+        )
         fine = raw2outputs(
             raw, z_all, rays_d,
             raw_noise_std=render_cfg.raw_noise_std,

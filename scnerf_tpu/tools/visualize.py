@@ -133,3 +133,37 @@ def rays_to_pointcloud(rays_o: np.ndarray, rays_d: np.ndarray, t_vals) -> np.nda
     t = np.asarray(t_vals).reshape(1, -1, 1)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * t
     return pts.reshape(-1, 3)
+
+
+def visualize_matches(img0, img1, kps0, kps1, max_draw: int = 100, out_path=None):
+    """Side-by-side correspondence visualization (rebuild of the reference's
+    ``unit_test_matches`` debug dump, ``model/prd_evaluation.py:21-63``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    h0, w0 = img0.shape[:2]
+    h1, w1 = img1.shape[:2]
+    canvas = np.ones((max(h0, h1), w0 + w1, 3), dtype=np.float64)
+    canvas[:h0, :w0] = img0[..., :3]
+    canvas[:h1, w0:] = img1[..., :3]
+    fig, ax = plt.subplots(figsize=(12, 6))
+    ax.imshow(canvas)
+    n = min(max_draw, len(kps0))
+    for k in range(n):
+        ax.plot(
+            [kps0[k, 0], kps1[k, 0] + w0], [kps0[k, 1], kps1[k, 1]],
+            "-", lw=0.5, alpha=0.7,
+        )
+    ax.scatter(kps0[:n, 0], kps0[:n, 1], c="lime", s=4)
+    ax.scatter(kps1[:n, 0] + w0, kps1[:n, 1], c="lime", s=4)
+    ax.set_axis_off()
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img

@@ -121,6 +121,21 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
     )
     state = create_train_state(params, tx)
 
+    # Camera-transfer modes (reference load_camera / load_test,
+    # nerfplusplus/create_nerf.py:114-129): pull calibrated camera fields
+    # from another experiment's checkpoint.
+    transfer = getattr(cfg.optim, "load_camera_path", None)
+    if transfer:
+        from scnerf_tpu.train.checkpoint import restore_camera_partial, restore_checkpoint
+
+        restored = restore_checkpoint(transfer, state)
+        if restored is not None and "camera" in params:
+            params["camera"] = restore_camera_partial(
+                params["camera"], restored.params["camera"],
+                skip_extrinsics=not getattr(cfg.optim, "load_test", False),
+            )
+            state = create_train_state(params, tx)
+
     prd_on = cfg.camera.use_camera and cfg.camera.ray_loss_type == "proj_ray_dist"
     step_fn = make_nerfpp_train_step(model_cfg, render_cfg, train_cfg, curriculum,
                                      tx, with_prd=False, donate=False)
@@ -160,14 +175,20 @@ def nerfpp_sample_batch(exp: NerfPPExperiment) -> dict:
     n_rand = cfg.sampling.N_rand
     img_i = exp.rng.randint(0, train.poses.shape[0])
     px, py = sample_pixels(exp.rng, train.H, train.W, n_rand)
-    target = train.images[img_i, py.astype(np.int64), px.astype(np.int64)]
-    return {
+    pxi, pyi = px.astype(np.int64), py.astype(np.int64)
+    target = train.images[img_i, pyi, pxi]
+    batch = {
         "px": jnp.asarray(px),
         "py": jnp.asarray(py),
         "img_idx": jnp.asarray(img_i),
         "target": jnp.asarray(target, jnp.float32),
         "min_depth": jnp.full((n_rand,), 1e-4),
     }
+    if train.masks is not None:
+        batch["mask"] = jnp.asarray(train.masks[img_i, pyi, pxi], jnp.float32)
+    if train.min_depths is not None:
+        batch["min_depth"] = jnp.asarray(train.min_depths[img_i, pyi, pxi], jnp.float32)
+    return batch
 
 
 def run_nerfpp_training(cfg: ExperimentConfig, expdir: str, n_steps: int | None = None):

@@ -20,7 +20,7 @@ from scnerf_tpu.camera.model import Camera, get_extrinsic, get_intrinsic
 from scnerf_tpu.camera.rays import pixels_to_rays
 from scnerf_tpu.core.pytree import pytree_dataclass, static_field
 from scnerf_tpu.fields.nerfpp import NerfPPConfig, autoexpo_params
-from scnerf_tpu.losses.photometric import img2mse, mse2psnr
+from scnerf_tpu.losses.photometric import img2mse, masked_mse, mse2psnr
 from scnerf_tpu.losses.prd import prd_loss
 from scnerf_tpu.render.nerfpp_renderer import NerfPPRenderConfig, render_rays_nerfpp
 from scnerf_tpu.train.curriculum import Curriculum, mask_tree_camera_grads, prd_active
@@ -68,6 +68,7 @@ def make_nerfpp_train_step(
             rays_o, rays_d, batch["min_depth"], key,
         )
         target = batch["target"]
+        mask = batch.get("mask")
         loss = 0.0
         metrics = {}
         for m, ret in enumerate(outs):
@@ -76,12 +77,16 @@ def make_nerfpp_train_step(
                 scale = scale[..., None] if scale.ndim else scale
                 shift = shift[..., None] if jnp.ndim(shift) else shift
                 pred = (ret["rgb"] - shift) / scale
-                mse = img2mse(pred, target)
+                mse = img2mse(pred, target) if mask is None else masked_mse(pred, target, mask)
                 loss = loss + mse + train_cfg.lambda_autoexpo * (
                     jnp.mean(jnp.abs(scale - 1.0)) + jnp.mean(jnp.abs(shift))
                 )
             else:
-                mse = img2mse(ret["rgb"], target)
+                mse = (
+                    img2mse(ret["rgb"], target)
+                    if mask is None
+                    else masked_mse(ret["rgb"], target, mask)
+                )
                 loss = loss + mse
             metrics[f"mse_{m}"] = mse
         metrics["psnr"] = mse2psnr(metrics[f"mse_{len(outs) - 1}"])

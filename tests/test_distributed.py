@@ -96,3 +96,41 @@ class TestShardedTraining:
         from __graft_entry__ import dryrun_multichip
 
         dryrun_multichip(8)
+
+
+class TestNerfPPSharded:
+    def test_nerfpp_sharded_step_matches(self, eight_devices):
+        from tests.test_nerfpp import TestNerfPPTraining
+
+        state, step, batch = TestNerfPPTraining().build()
+        key = jax.random.key(3)
+        ref_state, ref_metrics = step(state, batch, key)
+        mesh = make_mesh()
+        out_state, out_metrics = step(
+            replicate_state(mesh, state), shard_batch(mesh, batch), key
+        )
+        np.testing.assert_allclose(
+            float(out_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+        )
+
+    def test_distributed_full_image_render(self, eight_devices):
+        """The reference's render_single_image comm pattern (rays split
+        across ranks, gathered to rank 0) becomes: shard rays over the mesh,
+        render_chunked, result is addressable everywhere."""
+        from tests.test_render import tiny_setup
+        from scnerf_tpu.render.renderer import render_chunked
+
+        model_cfg, render_cfg, params = tiny_setup()
+        render_cfg = render_cfg.replace(perturb=False, chunk=16)
+        mesh = make_mesh()
+        key = jax.random.key(4)
+        n = 128
+        rays_o = jax.random.normal(key, (n, 3)) * 0.1
+        rays_d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+        vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        ref = render_chunked(params, model_cfg, render_cfg, rays_o, rays_d, vd, 2.0, 6.0, key)
+
+        sharded = shard_batch(mesh, {"o": np.asarray(rays_o), "d": np.asarray(rays_d), "v": np.asarray(vd)})
+        params_r = replicate_state(mesh, params)
+        out = render_chunked(params_r, model_cfg, render_cfg, sharded["o"], sharded["d"], sharded["v"], 2.0, 6.0, key)
+        np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=1e-5)
