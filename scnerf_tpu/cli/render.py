@@ -68,12 +68,7 @@ def main(argv=None):
     else:
         # Spiral / spherical render path written as video.
         frames = []
-        # LLFF render poses are (R, 3, 5); blender (R, 4, 4).
-        from scnerf_tpu.core.config import ExperimentConfig  # noqa: F401
-
-        poses = exp.noisy_poses if False else None
-        data_poses = getattr(exp, "render_poses", None)
-        # Re-load render path from the dataset module.
+        # Re-load the render path (LLFF spiral (R,3,5) / blender spherical).
         if cfg.dataset.dataset_type == "blender":
             from scnerf_tpu.data.blender import pose_spherical
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from scnerf_tpu.core.pytree import pytree_dataclass, static_field
-from scnerf_tpu.fields.nerf import NeRFConfig, query_field, query_field_chunked
+from scnerf_tpu.fields.nerf import NeRFConfig, query_field_chunked
 from scnerf_tpu.render.composite import raw2outputs
 from scnerf_tpu.sampling.pdf import sample_pdf
 from scnerf_tpu.sampling.stratified import stratified_z_vals

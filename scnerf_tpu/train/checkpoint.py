@@ -22,7 +22,6 @@ import os
 import re
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from scnerf_tpu.train.step import TrainState

@@ -23,7 +23,6 @@ from scnerf_tpu.camera.model import (
     Camera,
     CameraConfig,
     OPENGL,
-    get_extrinsic,
     get_extrinsics,
     get_intrinsic,
     init_camera,
@@ -45,7 +44,7 @@ from scnerf_tpu.matching.provider import (
 )
 from scnerf_tpu.metrics.ssim import ssim
 from scnerf_tpu.render.renderer import RenderConfig, render_chunked
-from scnerf_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from scnerf_tpu.train.checkpoint import save_checkpoint
 from scnerf_tpu.train.curriculum import Curriculum
 from scnerf_tpu.train.logging_utils import MetricLogger
 from scnerf_tpu.train.optim import make_optimizer

@@ -10,8 +10,6 @@ reference's silent per-rank camera divergence (SURVEY.md section 3.5 note).
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -24,8 +24,6 @@ def exp_decay_schedule(lr_init: float, decay_factor: float, decay_steps: float):
     """``lr(step) = lr_init * decay_factor^(step / decay_steps)``."""
 
     def schedule(step):
-        import jax.numpy as jnp
-
         return lr_init * (decay_factor ** (step / decay_steps))
 
     return schedule
