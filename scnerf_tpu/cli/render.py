@@ -38,6 +38,9 @@ def main(argv=None):
     out_dir = args.out or os.path.join(expdir, f"render_{args.split}")
     os.makedirs(out_dir, exist_ok=True)
 
+    if cfg.dataset.dataset_type == "nerfpp":
+        return _render_nerfpp(cfg, expdir, ckpt_dir, out_dir, args)
+
     exp = build_experiment(cfg, expdir)
     restored = restore_checkpoint(ckpt_dir, exp.state)
     if restored is not None:
@@ -93,3 +96,38 @@ def main(argv=None):
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def _render_nerfpp(cfg, expdir, ckpt_dir, out_dir, args):
+    """NeRF++ split rendering + metrics (the ddp_test_nerf.py role): rgb,
+    fg/bg rgb, colorized depth dumps and a summary file."""
+    import imageio.v2 as imageio
+
+    from scnerf_tpu.core.imaging import colorize_depth, to8b
+    from scnerf_tpu.train.checkpoint import restore_checkpoint
+    from scnerf_tpu.train.nerfpp_driver import (
+        build_nerfpp_experiment,
+        evaluate_nerfpp,
+        render_nerfpp_image,
+    )
+
+    exp = build_nerfpp_experiment(cfg, expdir)
+    restored = restore_checkpoint(ckpt_dir, exp.state)
+    if restored is not None:
+        exp.state = restored
+        print(f"[render] restored step {int(restored.step)}")
+    res = evaluate_nerfpp(exp, max_views=args.max_views)
+    print(f"[eval] psnr={res['psnr']:.2f} ssim={res['ssim']:.4f} views={res['n_views']}")
+    for i in range(res["n_views"]):
+        out = render_nerfpp_image(exp, img_idx=i)
+        imageio.imwrite(os.path.join(out_dir, f"{i:03d}.png"), to8b(out["rgb"]))
+        imageio.imwrite(os.path.join(out_dir, f"{i:03d}_fg.png"), to8b(out["fg_rgb"]))
+        imageio.imwrite(os.path.join(out_dir, f"{i:03d}_bg.png"), to8b(out["bg_rgb"]))
+        imageio.imwrite(
+            os.path.join(out_dir, f"{i:03d}_depth.png"),
+            to8b(colorize_depth(out["fg_depth"])),
+        )
+    with open(os.path.join(out_dir, f"{cfg.logging.expname}.txt"), "w") as f:
+        f.write(f"psnr {res['psnr']:.4f}\nssim {res['ssim']:.4f}\n")
+    print(f"[render] wrote {out_dir}")
+    return 0

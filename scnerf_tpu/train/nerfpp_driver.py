@@ -225,3 +225,55 @@ def run_nerfpp_training(cfg: ExperimentConfig, expdir: str, n_steps: int | None 
         if step_now % cfg.logging.i_weights == 0:
             save_checkpoint(ckpt_dir, exp.state)
     return exp.state, metrics
+
+
+def render_nerfpp_image(exp: NerfPPExperiment, img_idx: int | None = None,
+                        c2w=None, K=None, key=None):
+    """Full-image NeRF++ render (H, W) maps.
+
+    With the camera model, rays come from the learned parameters at
+    ``img_idx`` (the reference's ``get_all`` camera path,
+    ``nerf_sample_ray_split.py:103-123``); otherwise from the given K/c2w.
+    """
+    from scnerf_tpu.camera.rays import pixels_to_rays, full_image_pixels
+    from scnerf_tpu.geometry.so3 import K_inverse_3x3
+    from scnerf_tpu.render.nerfpp_renderer import render_chunked_nerfpp
+
+    train = exp.train_data
+    key = key if key is not None else jax.random.key(0)
+    px, py = full_image_pixels(train.H, train.W)
+    camera = exp.state.params.get("camera")
+    if camera is not None and img_idx is not None:
+        rays_o, rays_d = pixels_to_rays(camera, px, py, image_idx=img_idx)
+    else:
+        K = jnp.asarray(K if K is not None else train.intrinsics[img_idx or 0])
+        c2w = jnp.asarray(c2w if c2w is not None else train.poses[img_idx or 0])
+        pix = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
+        dirs = jnp.matmul(pix, K_inverse_3x3(K).T, precision="highest")
+        rays_d = jnp.matmul(dirs, c2w[:3, :3].T, precision="highest")
+        rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    out = render_chunked_nerfpp(
+        exp.state.params["levels"], exp.model_cfg,
+        exp.render_cfg.replace(perturb=False),
+        rays_o, rays_d, jnp.full((rays_o.shape[0],), 1e-4), key,
+    )
+    return {k: np.asarray(v).reshape((train.H, train.W) + v.shape[1:])
+            for k, v in out.items()}
+
+
+def evaluate_nerfpp(exp: NerfPPExperiment, max_views: int | None = 2) -> dict:
+    """PSNR/SSIM over train-split renders (the ddp_test_nerf metric dump;
+    dedicated test splits load the same way with ``load_nerfpp_split``)."""
+    from scnerf_tpu.losses.photometric import img2mse, mse2psnr
+    from scnerf_tpu.metrics.ssim import ssim
+
+    train = exp.train_data
+    n = train.poses.shape[0] if max_views is None else min(max_views, train.poses.shape[0])
+    psnrs, ssims = [], []
+    for i in range(n):
+        out = render_nerfpp_image(exp, img_idx=i)
+        target = train.images[i]
+        mse = float(img2mse(jnp.asarray(out["rgb"]), jnp.asarray(target)))
+        psnrs.append(float(mse2psnr(jnp.asarray(mse))))
+        ssims.append(float(ssim(jnp.asarray(out["rgb"]), jnp.asarray(target))))
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)), "n_views": n}

@@ -194,3 +194,51 @@ class TestDriverEndToEnd:
         state, metrics = run_nerfpp_training(cfg, expdir, n_steps=6)
         assert int(state.step) == 6
         assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow
+class TestRenderCli:
+    def test_nerfpp_render_cli(self, tmp_path, monkeypatch):
+        """Train 2 steps via the train CLI, then render via the render CLI."""
+        from tests.test_data import write_png
+
+        rng = np.random.RandomState(5)
+        root = tmp_path / "scene"
+        H = W = 16
+        for sub in ["rgb", "intrinsics", "pose"]:
+            os.makedirs(root / "train" / sub, exist_ok=True)
+        for i in range(2):
+            write_png(root / "train" / "rgb" / f"{i:05d}.png", rng.rand(H, W, 3))
+            K = np.eye(4); K[0, 0] = K[1, 1] = 14.0; K[0, 2], K[1, 2] = W / 2, H / 2
+            (root / "train" / "intrinsics" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, K.reshape(-1))))
+            pose = np.eye(4); pose[:3, 3] = [0.05 * i, 0.0, -0.3]
+            (root / "train" / "pose" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, pose.reshape(-1))))
+        cfgfile = tmp_path / "cfg.txt"
+        cfgfile.write_text(f"""
+        dataset_type = nerfpp
+        datadir = {root}
+        N_rand = 16
+        cascade_samples = 4,4
+        cascade_level = 2
+        netdepth = 2
+        netwidth = 16
+        max_freq_log2 = 2
+        max_freq_log2_viewdirs = 1
+        camera_model = pinhole_rot_noise_10k_rayo_rayd
+        grid_size = 4
+        i_weights = 2
+        i_print = 1
+        expname = rcli
+        basedir = {tmp_path / "logs"}
+        """)
+        from scnerf_tpu.cli.train import main as train_main
+        from scnerf_tpu.cli.render import main as render_main
+
+        assert train_main(["--config", str(cfgfile), "--steps", "2"]) == 0
+        assert render_main(["--config", str(cfgfile), "--max_views", "1"]) == 0
+        out_dir = tmp_path / "logs" / "rcli" / "render_test"
+        assert (out_dir / "000.png").exists()
+        assert (out_dir / "000_depth.png").exists()
+        assert (out_dir / "rcli.txt").exists()
