@@ -437,7 +437,12 @@ def render_image(exp: NerfExperiment, c2w, key=None, camera_rays: bool = True):
         exp.state.params, exp.model_cfg, eval_cfg, rays_o, rays_d, viewdirs,
         exp.near, exp.far, key,
     )
-    return {k: np.asarray(v).reshape((exp.H, exp.W) + v.shape[1:]) for k, v in out.items()}
+    out = {k: np.asarray(v).reshape((exp.H, exp.W) + v.shape[1:]) for k, v in out.items()}
+    # batchify_rays clamps rgb >= 1 (render.py:404-406); metrics match.
+    for k in ("rgb", "rgb0"):
+        if k in out:
+            out[k] = np.minimum(out[k], 1.0)
+    return out
 
 
 def evaluate_test_views(exp: NerfExperiment, max_views: int | None = None) -> dict:

@@ -109,10 +109,14 @@ def make_train_step(
             key,
         )
         target = batch["target"]
-        mse = img2mse(out["rgb"], target)
+        # The reference clamps rgb >= 1 to 1 in-place before the loss
+        # (render.py:404-406) — clamped pixels get zero gradient; minimum()
+        # reproduces both the value and the gradient behavior.
+        rgb = jnp.minimum(out["rgb"], 1.0)
+        mse = img2mse(rgb, target)
         loss = mse
         if "rgb0" in out:
-            loss = loss + img2mse(out["rgb0"], target)
+            loss = loss + img2mse(jnp.minimum(out["rgb0"], 1.0), target)
         metrics = {"mse": mse, "psnr": mse2psnr(mse)}
 
         if with_prd:
