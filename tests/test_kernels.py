@@ -87,3 +87,29 @@ class TestPdfPallas:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 64), (8, 64))
         got = np.asarray(sample_pdf_pallas_core(bins, weights, u))
         np.testing.assert_allclose(got[0], np.linspace(0, 1, 64), atol=1e-4)
+
+
+class TestFusedMlpPallas:
+    def test_matches_xla_forward(self):
+        """Experimental fused kernel: numerics vs query_field (interpret
+        mode runs exact f32, so tolerance is tight)."""
+        from scnerf_tpu.fields.nerf import NeRFConfig, init_nerf_mlp, query_field
+        from scnerf_tpu.kernels.mlp_pallas import fused_query_field, supports_config
+
+        cfg = NeRFConfig()  # the supported default architecture
+        assert supports_config(cfg)
+        params = init_nerf_mlp(jax.random.key(0), cfg)
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.randn(8, 16, 3).astype(np.float32))
+        vd = rng.randn(8, 3).astype(np.float32)
+        vd = jnp.asarray(vd / np.linalg.norm(vd, axis=-1, keepdims=True))
+        ref = query_field(params, cfg, pts, vd)
+        got = fused_query_field(params, cfg, pts, vd, tile=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    def test_rejects_unsupported_config(self):
+        from scnerf_tpu.fields.nerf import NeRFConfig
+        from scnerf_tpu.kernels.mlp_pallas import supports_config
+
+        assert not supports_config(NeRFConfig(depth=4))
+        assert not supports_config(NeRFConfig(compute_dtype="bfloat16"))

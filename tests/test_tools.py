@@ -201,3 +201,32 @@ class TestVisualize:
     def test_pointcloud_shape(self):
         pc = rays_to_pointcloud(np.zeros((4, 3)), np.ones((4, 3)), [1.0, 2.0])
         assert pc.shape == (8, 3)
+
+
+class TestVideo:
+    def test_array_to_video(self, tmp_path):
+        from scnerf_tpu.tools.video import array_to_video, frames_to_video
+        import imageio.v2 as imageio
+
+        frames = np.random.RandomState(0).rand(5, 16, 16, 3).astype(np.float32)
+        out = str(tmp_path / "v.mp4")
+        array_to_video(frames, out, fps=5)
+        assert os.path.exists(out) or os.path.exists(out + ".npz")
+        # png-dir variant
+        d = tmp_path / "frames"
+        os.makedirs(d)
+        for i in range(3):
+            imageio.imwrite(str(d / f"{i:03d}.png"), (frames[i] * 255).astype(np.uint8))
+        n = frames_to_video(str(d), str(tmp_path / "v2.mp4"), fps=5)
+        assert n == 3
+
+
+class TestColmapRunner:
+    def test_gating(self):
+        from scnerf_tpu.tools import colmap_runner
+
+        if not colmap_runner.colmap_available():
+            with pytest.raises(RuntimeError):
+                colmap_runner.run_colmap("/nonexistent", "/tmp/ws")
+        else:
+            assert True  # binary present; pipeline covered by integration use
