@@ -96,6 +96,7 @@ class SamplingConfig:
     precrop_iters: int = 0
     precrop_frac: float = 0.5
     use_batching: bool = False
+    det: bool = False  # deterministic sampling at render (NeRF++ flag)
 
 
 @dataclass
@@ -115,6 +116,7 @@ class CameraFlags:
     add_prd: int = 0
     # PRD
     ray_loss_type: str = "none"  # none | proj_ray_dist
+    run_fisheye: bool = False  # disables PRD (reference fisheye runs)
     i_ray_dist_loss: int = 10
     ray_dist_loss_weight: float = 1e-4
     proj_ray_dist_threshold: float = 5.0
@@ -144,6 +146,9 @@ class OptimConfig:
     # pull calibrated camera fields from; load_test also copies extrinsics.
     load_camera_path: str = ""
     load_test: bool = False
+    # warm start (reference ft_path/ckpt_path) and resume control (no_reload).
+    ckpt_path: str = ""
+    no_reload: bool = False
 
 
 @dataclass
@@ -189,7 +194,24 @@ _ALIASES = {
     "max_freq_log2_viewdirs": ("model", "multires_views"),
     "alternate_frequency": ("camera", "i_ray_dist_loss"),
     "lambda_autoexpo": ("model", "lambda_autoexpo"),
+    "ft_path": ("optim", "ckpt_path"),
 }
+
+# Flags needing translation beyond a rename.
+def _apply_special(cfg: "ExperimentConfig", k: str, v) -> bool:
+    if k == "no_batching":
+        cfg.sampling.use_batching = not _truthy(v)
+        return True
+    if k == "use_camera":
+        # NeRF++ bool flag; the camera model name may come from another line.
+        if _truthy(v) and cfg.camera.camera_model == "none":
+            cfg.camera.camera_model = "pinhole_rot_noise_10k_rayo_rayd"
+        return True
+    return False
+
+
+def _truthy(v) -> bool:
+    return v is True or (isinstance(v, str) and v.lower() == "true") or v == 1
 
 
 def experiment_from_flags(flags: dict, warn=print) -> ExperimentConfig:
@@ -211,6 +233,8 @@ def experiment_from_flags(flags: dict, warn=print) -> ExperimentConfig:
 
     for k, v in flags.items():
         if k == "config":
+            continue
+        if _apply_special(cfg, k, v):
             continue
         if k in index:
             sname, fname = index[k]

@@ -195,6 +195,20 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
     )
     state = create_train_state(params, tx)
 
+    # Warm start / auto-resume (reference ft_path + latest-ckpt auto-resume,
+    # NeRF/create_nerf.py:142-173; disabled by no_reload).
+    if not cfg.optim.no_reload:
+        from scnerf_tpu.train.checkpoint import restore_checkpoint
+
+        for source in ([cfg.optim.ckpt_path] if cfg.optim.ckpt_path else []) + (
+            [os.path.join(expdir, "ckpts")] if expdir else []
+        ):
+            restored = restore_checkpoint(source, state)
+            if restored is not None:
+                state = restored
+                print(f"[resume] restored step {int(state.step)} from {source}")
+                break
+
     prd_on = cfg.camera.use_camera and cfg.camera.ray_loss_type == "proj_ray_dist"
     step_fn = make_train_step(model_cfg, render_cfg, train_cfg, curriculum, tx,
                               with_prd=False, donate=False)

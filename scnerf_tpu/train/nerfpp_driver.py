@@ -136,7 +136,11 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
             )
             state = create_train_state(params, tx)
 
-    prd_on = cfg.camera.use_camera and cfg.camera.ray_loss_type == "proj_ray_dist"
+    prd_on = (
+        cfg.camera.use_camera
+        and cfg.camera.ray_loss_type == "proj_ray_dist"
+        and not cfg.camera.run_fisheye  # reference skips PRD for fisheye runs
+    )
     step_fn = make_nerfpp_train_step(model_cfg, render_cfg, train_cfg, curriculum,
                                      tx, with_prd=False, donate=False)
     step_prd_fn = (

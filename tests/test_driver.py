@@ -242,3 +242,50 @@ class TestRenderCli:
         assert (out_dir / "000.png").exists()
         assert (out_dir / "000_depth.png").exists()
         assert (out_dir / "rcli.txt").exists()
+
+
+class TestReferenceConfigCompatibility:
+    """Every published reference config txt must parse through the shim."""
+
+    REF_CONFIG_DIRS = [
+        "/root/reference/NeRF/configs/llff_data",
+        "/root/reference/NeRF/configs/blender",
+        "/root/reference/nerfplusplus/configs/tanks_and_temples",
+    ]
+
+    def _iter_configs(self):
+        for d in self.REF_CONFIG_DIRS:
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".txt"):
+                    yield os.path.join(d, f)
+
+    def test_all_reference_configs_parse(self):
+        import glob
+
+        n = 0
+        unknown = {}
+        for path in self._iter_configs():
+            warnings = []
+            cfg = load_experiment(path, warn=lambda m: warnings.append(m))
+            assert cfg.sampling.N_rand > 0
+            for w in warnings:
+                unknown[w.split(":")[1].split("=")[0].strip()] = True
+            n += 1
+        # also every nerfpp fisheye config if present
+        for path in glob.glob("/root/reference/nerfplusplus/configs/fisheye*/*.txt"):
+            cfg = load_experiment(path, warn=lambda *a: None)
+            n += 1
+        assert n > 0, "no reference configs found"
+
+    def test_fern_reference_values(self):
+        path = "/root/reference/NeRF/configs/llff_data/fern.txt"
+        if not os.path.exists(path):
+            pytest.skip("reference not mounted")
+        cfg = load_experiment(path, warn=lambda *a: None)
+        assert cfg.dataset.dataset_type == "llff"
+        assert cfg.sampling.N_rand == 1024
+        assert cfg.sampling.N_samples == 64
+        assert cfg.sampling.raw_noise_std == 1.0
+        assert cfg.model.use_viewdirs
