@@ -15,7 +15,25 @@ from typing import Any
 
 
 class MetricLogger:
-    def __init__(self, expdir: str, use_wandb: bool = False, wandb_kwargs: dict | None = None):
+    """Coordinator-only by default: on multi-host runs, non-rank-0 processes
+    no-op every call (the reference's rank-0 gating of wandb/ckpt writes,
+    ``ddp_train_nerf.py:319,563,603``)."""
+
+    def __init__(self, expdir: str, use_wandb: bool = False, wandb_kwargs: dict | None = None,
+                 coordinator_only: bool = True):
+        self._active = True
+        if coordinator_only:
+            try:
+                import jax
+
+                self._active = jax.process_index() == 0
+            except Exception:
+                pass
+        if not self._active:
+            self.expdir = expdir
+            self._f = None
+            self._wandb = None
+            return
         os.makedirs(expdir, exist_ok=True)
         self.expdir = expdir
         self._f = open(os.path.join(expdir, "metrics.jsonl"), "a")
@@ -30,6 +48,8 @@ class MetricLogger:
                 print(f"[log] wandb unavailable ({e}); JSONL only")
 
     def log(self, step: int, metrics: dict[str, Any]) -> None:
+        if not self._active:
+            return
         row = {"step": int(step), "time": time.time()}
         for k, v in metrics.items():
             try:
@@ -42,8 +62,11 @@ class MetricLogger:
             self._wandb.log({k: v for k, v in row.items() if k != "step"}, step=step)
 
     def snapshot_config(self, config_json: str) -> None:
+        if not self._active:
+            return
         with open(os.path.join(self.expdir, "config.json"), "w") as f:
             f.write(config_json)
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()

@@ -228,16 +228,29 @@ def run_nerfpp_training(cfg: ExperimentConfig, expdir: str, n_steps: int | None 
             exp.logger.log(step_now, metrics)
         if step_now % cfg.logging.i_weights == 0:
             save_checkpoint(ckpt_dir, exp.state)
+        if exp.logger and step_now % cfg.logging.camera_log == 0 and \
+                exp.state.params.get("camera") is not None:
+            from scnerf_tpu.camera.model import camera_log_dict
+
+            exp.logger.log(
+                step_now,
+                camera_log_dict(exp.state.params["camera"],
+                                gt_K=exp.train_data.intrinsics[0]),
+            )
     return exp.state, metrics
 
 
 def render_nerfpp_image(exp: NerfPPExperiment, img_idx: int | None = None,
-                        c2w=None, K=None, key=None):
+                        c2w=None, K=None, key=None, resolution_level: int = 1):
     """Full-image NeRF++ render (H, W) maps.
 
     With the camera model, rays come from the learned parameters at
     ``img_idx`` (the reference's ``get_all`` camera path,
     ``nerf_sample_ray_split.py:103-123``); otherwise from the given K/c2w.
+    ``resolution_level`` renders at ``H//L x W//L`` with K scaled by 1/L
+    (the reference's ``set_resolution_level``,
+    ``nerf_sample_ray_split.py:64-70``). The camera-model path renders at
+    full resolution only (its learned grids are tied to H, W).
     """
     from scnerf_tpu.camera.rays import pixels_to_rays, full_image_pixels
     from scnerf_tpu.geometry.so3 import K_inverse_3x3
@@ -245,15 +258,22 @@ def render_nerfpp_image(exp: NerfPPExperiment, img_idx: int | None = None,
 
     train = exp.train_data
     key = key if key is not None else jax.random.key(0)
-    px, py = full_image_pixels(train.H, train.W)
     camera = exp.state.params.get("camera")
-    if camera is not None and img_idx is not None:
+    if camera is not None and img_idx is not None and resolution_level == 1:
+        Hr, Wr = train.H, train.W
+        px, py = full_image_pixels(Hr, Wr)
         rays_o, rays_d = pixels_to_rays(camera, px, py, image_idx=img_idx)
     else:
-        K = jnp.asarray(K if K is not None else train.intrinsics[img_idx or 0])
+        L = resolution_level
+        Hr, Wr = train.H // L, train.W // L
+        px, py = full_image_pixels(Hr, Wr)
+        Kmat = np.array(K if K is not None else train.intrinsics[img_idx or 0])
+        Kmat = Kmat.copy()
+        Kmat[:2, :3] /= L
+        Kj = jnp.asarray(Kmat)
         c2w = jnp.asarray(c2w if c2w is not None else train.poses[img_idx or 0])
         pix = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
-        dirs = jnp.matmul(pix, K_inverse_3x3(K).T, precision="highest")
+        dirs = jnp.matmul(pix, K_inverse_3x3(Kj).T, precision="highest")
         rays_d = jnp.matmul(dirs, c2w[:3, :3].T, precision="highest")
         rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
     out = render_chunked_nerfpp(
@@ -261,7 +281,7 @@ def render_nerfpp_image(exp: NerfPPExperiment, img_idx: int | None = None,
         exp.render_cfg.replace(perturb=False),
         rays_o, rays_d, jnp.full((rays_o.shape[0],), 1e-4), key,
     )
-    return {k: np.asarray(v).reshape((train.H, train.W) + v.shape[1:])
+    return {k: np.asarray(v).reshape((Hr, Wr) + v.shape[1:])
             for k, v in out.items()}
 
 
