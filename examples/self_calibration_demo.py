@@ -63,7 +63,7 @@ def render_gt_image(c2w):
     z = stratified_z_vals(None, jnp.full((H*W,),2.0), jnp.full((H*W,),5.5), 128, perturb=False)
     pts = rays_o[:,None,:] + rays_d[:,None,:]*z[...,None]
     raw = field(pts)
-    out = raw2outputs(raw, z, rays_d, white_bkgd=True)
+    out = raw2outputs(raw, z, rays_d, white_bkgd=False)
     return out["rgb"].reshape(H, W, 3)
 
 images = np.stack([np.asarray(render_gt_image(jnp.asarray(p))) for p in gt_poses])
@@ -103,7 +103,7 @@ ccfg = CameraConfig(H=H, W=W, grid_size=10, convention=OPENGL,
                     intrinsics_noise_scale=1.0, extrinsics_noise_scale=0.1)
 cam = init_camera(K_noisy, noisy_poses, ccfg)
 mcfg = NeRFConfig(depth=4, width=128, skips=(2,), multires=8, multires_views=4)
-rcfg = RenderConfig(n_samples=48, n_importance=48, white_bkgd=True)
+rcfg = RenderConfig(n_samples=48, n_importance=48, white_bkgd=False, raw_noise_std=1.0)
 tcfg = TrainConfig(lr_init=2e-3, lr_decay_steps=200e3, near=2.0, far=5.5, prd_method="NeRF")
 cur = Curriculum(add_ie=0, add_od=100000, add_prd=0, i_ray_dist_loss=2,
                  ray_dist_loss_weight=1e-3)

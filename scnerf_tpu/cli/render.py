@@ -18,7 +18,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="scnerf-tpu renderer")
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--ckpt_dir", type=str, default=None)
-    parser.add_argument("--split", type=str, default="test", choices=["test", "path"])
+    parser.add_argument("--split", type=str, default="test", choices=["test", "train", "path"])
     parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--max_views", type=int, default=None)
     args, unknown = parser.parse_known_args(argv)
@@ -51,7 +51,32 @@ def main(argv=None):
 
     import imageio.v2 as imageio
 
-    if args.split == "test":
+    if args.split == "train":
+        # End-of-training trainset render with the learned camera
+        # (run_nerf.py:904-1043): per train image, learned extrinsics.
+        from scnerf_tpu.camera.model import get_extrinsic
+        from scnerf_tpu.losses.photometric import img2mse, mse2psnr
+
+        psnrs = []
+        views = exp.i_train[: args.max_views] if args.max_views else exp.i_train
+        for n, idx in enumerate(views):
+            cam = exp.state.params.get("camera")
+            if cam is not None:
+                ci = int(np.where(exp.i_train == idx)[0][0])
+                c2w = np.asarray(get_extrinsic(cam, ci))
+            else:
+                c2w = exp.noisy_poses[int(idx)]
+            out = render_image(exp, c2w)
+            import jax.numpy as jnp
+
+            mse = float(img2mse(jnp.asarray(out["rgb"]), jnp.asarray(exp.images[int(idx)])))
+            psnrs.append(float(mse2psnr(jnp.asarray(mse))))
+            imageio.imwrite(
+                os.path.join(out_dir, f"{n:03d}.png"),
+                (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8),
+            )
+        print(f"[eval] trainset psnr={np.mean(psnrs):.2f} views={len(psnrs)}")
+    elif args.split == "test":
         results = evaluate_test_views(exp, max_views=args.max_views)
         print(f"[eval] psnr={results['psnr']:.2f} ssim={results['ssim']:.4f} "
               f"views={results['n_views']}")
