@@ -102,14 +102,14 @@ print("pairs with matches:", len(pairs), "avg matches:", np.mean([cache.get(i,j)
 ccfg = CameraConfig(H=H, W=W, grid_size=10, convention=OPENGL,
                     intrinsics_noise_scale=1.0, extrinsics_noise_scale=0.1)
 cam = init_camera(K_noisy, noisy_poses, ccfg)
-mcfg = NeRFConfig(depth=4, width=128, skips=(2,), multires=8, multires_views=4)
+mcfg = NeRFConfig(depth=4, width=64, skips=(2,), multires=6, multires_views=2)
 rcfg = RenderConfig(n_samples=48, n_importance=48, white_bkgd=False, raw_noise_std=1.0)
-tcfg = TrainConfig(lr_init=2e-3, lr_decay_steps=200e3, near=2.0, far=5.5, prd_method="NeRF")
+tcfg = TrainConfig(lr_init=1e-3, lr_decay_steps=200e3, near=2.0, far=5.5, prd_method="NeRF")
 cur = Curriculum(add_ie=0, add_od=100000, add_prd=0, i_ray_dist_loss=2,
                  ray_dist_loss_weight=1e-3)
 key = jax.random.key(1)
 params = {"coarse": init_nerf_mlp(key, mcfg), "fine": init_nerf_mlp(jax.random.fold_in(key,1), mcfg), "camera": cam}
-tx = make_optimizer(2e-3, 200e3, params_example=params)
+tx = make_optimizer(1e-3, 200e3, params_example=params)
 state = create_train_state(params, tx)
 step = make_train_step(mcfg, rcfg, tcfg, cur, tx, donate=False)
 step_prd = make_train_step(mcfg, rcfg, tcfg, cur, tx, with_prd=True, donate=False)

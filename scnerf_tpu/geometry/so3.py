@@ -87,7 +87,15 @@ def rotation_to_axis_angle(R: jnp.ndarray):
 
 
 def euler_to_rotation(euler: jnp.ndarray) -> jnp.ndarray:
-    """XYZ-extrinsic Euler angles -> R = Rz @ Ry @ Rx (``camera_utils.py:140``)."""
+    """Euler angles -> R, numerically identical to the reference's
+    ``rot_from_angle`` (``camera_utils.py:140-175``).
+
+    Note the reference stacks matrix ROWS on the last axis, which transposes
+    each axis rotation — equivalent to negating the angles; preserved here
+    for exact parity (its inverse ``angle_from_rot`` compensates by negating,
+    so the pair round-trips).
+    """
+    euler = -euler
     ax, ay, az = euler[..., 0], euler[..., 1], euler[..., 2]
     cx, sx = jnp.cos(ax), jnp.sin(ax)
     cy, sy = jnp.cos(ay), jnp.sin(ay)
@@ -122,7 +130,9 @@ def euler_to_rotation(euler: jnp.ndarray) -> jnp.ndarray:
 
 
 def rotation_to_euler(R: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`euler_to_rotation` (``camera_utils.py:177-181``)."""
+    """Inverse of :func:`euler_to_rotation` (``angle_from_rot``,
+    ``camera_utils.py:177-181``); ``euler_to_rotation(rotation_to_euler(R))``
+    round-trips exactly."""
     x = -jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
     y = -jnp.arctan2(-R[..., 2, 0], jnp.sqrt(R[..., 2, 1] ** 2 + R[..., 2, 2] ** 2))
     z = -jnp.arctan2(R[..., 1, 0], R[..., 0, 0])

@@ -59,9 +59,7 @@ class TestSO3:
     def test_euler_roundtrip(self):
         e = jnp.array([[0.3, -0.2, 0.7], [0.0, 0.1, -0.4]])
         R = euler_to_rotation(e)
-        # rotation_to_euler matches the reference's sign convention
-        # (angle_from_rot returns negated angles, camera_utils.py:177-181).
-        R2 = euler_to_rotation(-rotation_to_euler(R))
+        R2 = euler_to_rotation(rotation_to_euler(R))
         np.testing.assert_allclose(R, R2, atol=1e-5)
 
     def test_se3_inverse(self):

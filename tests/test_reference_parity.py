@@ -1,0 +1,333 @@
+"""Numerical parity tests against the REFERENCE implementation itself.
+
+The reference (/root/reference, read-only) is PyTorch; torch-cpu is in this
+image, so its pure-math functions can be imported and evaluated directly as
+oracles for ours. This is the strongest possible parity evidence: same
+inputs, outputs compared to float tolerance. Tests skip when the reference
+checkout is absent.
+
+No reference code is copied — modules are imported from the mounted
+checkout, with unavailable third-party submodules stubbed out.
+"""
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+def _load_ref_module(relpath, name, stubs=()):
+    import os
+
+    path = os.path.join(REF, relpath)
+    if not os.path.exists(path):
+        pytest.skip(f"reference not mounted: {path}")
+    for s in stubs:
+        if s not in sys.modules:
+            mod = types.ModuleType(s)
+            sys.modules[s] = mod
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def torch():
+    return pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_camera_utils(torch):
+    # camera_utils imports thirdparty.ATE (empty submodule) — stub it.
+    return _load_ref_module(
+        "model/camera_utils.py", "ref_camera_utils",
+        stubs=("thirdparty", "thirdparty.ATE"),
+    )
+
+
+class TestSO3Parity:
+    def test_ortho2rotation(self, torch, ref_camera_utils):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.geometry.so3 import ortho2rotation
+
+        rng = np.random.RandomState(0)
+        poses = rng.randn(32, 6).astype(np.float32)
+        want = ref_camera_utils.ortho2rotation(torch.from_numpy(poses)).numpy()
+        got = np.asarray(ortho2rotation(jnp.asarray(poses)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_rotation2orth(self, torch, ref_camera_utils):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.geometry.so3 import ortho2rotation, rotation2orth
+
+        rng = np.random.RandomState(1)
+        R = np.asarray(ortho2rotation(jnp.asarray(rng.randn(8, 6).astype(np.float32))))
+        want = ref_camera_utils.rotation2orth(torch.from_numpy(R)).numpy()
+        got = np.asarray(rotation2orth(jnp.asarray(R)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_axis_angle(self, torch, ref_camera_utils):
+        from scnerf_tpu.geometry.so3 import axis_angle_to_rotation
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(2)
+        axis = rng.randn(16, 3)
+        axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+        angle = rng.rand(16, 1) * 3.0
+        want = ref_camera_utils.R_axis_angle(axis, angle)
+        got = np.asarray(axis_angle_to_rotation(jnp.asarray(axis), jnp.asarray(angle)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_rot_from_angle(self, torch, ref_camera_utils):
+        from scnerf_tpu.geometry.so3 import euler_to_rotation
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(3)
+        euler = rng.randn(8, 3).astype(np.float32)
+        want = ref_camera_utils.rot_from_angle(torch.from_numpy(euler)).numpy()
+        got = np.asarray(euler_to_rotation(jnp.asarray(euler)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_intrinsic_param_to_K(self, torch, ref_camera_utils):
+        from scnerf_tpu.geometry.so3 import intrinsic_param_to_K
+        import jax.numpy as jnp
+
+        vals = np.array([415.0, 410.0, 208.0, 151.0], np.float32)
+        want = ref_camera_utils.intrinsic_param_to_K(torch.from_numpy(vals)).numpy()
+        got = np.asarray(intrinsic_param_to_K(jnp.asarray(vals)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_render(torch):
+    # NeRF/render.py imports get_rays (sibling) — make the dir importable.
+    import os
+
+    sys.path.insert(0, os.path.join(REF, "NeRF"))
+    try:
+        mod = _load_ref_module("NeRF/render.py", "ref_render")
+    finally:
+        sys.path.pop(0)
+    return mod
+
+
+class TestRenderParity:
+    def test_raw2outputs(self, torch, ref_render):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.render.composite import raw2outputs
+
+        rng = np.random.RandomState(4)
+        raw = rng.randn(16, 32, 4).astype(np.float32)
+        z = np.sort(rng.rand(16, 32).astype(np.float32) * 4 + 1, axis=-1)
+        rays_d = rng.randn(16, 3).astype(np.float32)
+        w_rgb, w_disp, w_acc, w_weights, w_depth = ref_render.raw2outputs(
+            torch.from_numpy(raw), torch.from_numpy(z), torch.from_numpy(rays_d)
+        )
+        got = raw2outputs(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rays_d))
+        np.testing.assert_allclose(np.asarray(got["rgb"]), w_rgb.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got["weights"]), w_weights.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got["disp"]), w_disp.numpy(), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got["acc"]), w_acc.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got["depth"]), w_depth.numpy(), atol=1e-4)
+
+    def test_raw2outputs_white_bkgd(self, torch, ref_render):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.render.composite import raw2outputs
+
+        rng = np.random.RandomState(5)
+        raw = rng.randn(8, 16, 4).astype(np.float32)
+        z = np.sort(rng.rand(8, 16).astype(np.float32) + 1, axis=-1)
+        rays_d = rng.randn(8, 3).astype(np.float32)
+        w_rgb, *_ = ref_render.raw2outputs(
+            torch.from_numpy(raw), torch.from_numpy(z), torch.from_numpy(rays_d),
+            white_bkgd=True,
+        )
+        got = raw2outputs(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rays_d),
+                          white_bkgd=True)
+        np.testing.assert_allclose(np.asarray(got["rgb"]), w_rgb.numpy(), atol=1e-5)
+
+    def test_sample_pdf_det(self, torch, ref_render):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.sampling.pdf import sample_pdf
+
+        rng = np.random.RandomState(6)
+        bins = np.sort(rng.rand(8, 63).astype(np.float32) * 3 + 2, axis=-1)
+        weights = rng.rand(8, 62).astype(np.float32)
+        want = ref_render.sample_pdf(
+            torch.from_numpy(bins), torch.from_numpy(weights), 64, det=True
+        ).numpy()
+        got = np.asarray(sample_pdf(None, jnp.asarray(bins), jnp.asarray(weights), 64, det=True))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_ndc_rays(self, torch, ref_render):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.geometry.ndc import ndc_rays
+
+        rng = np.random.RandomState(7)
+        o = (rng.randn(32, 3) * 0.3 + [0, 0, -2.5]).astype(np.float32)
+        d = (rng.randn(32, 3) * 0.1 + [0, 0, -1.0]).astype(np.float32)
+        w_o, w_d = ref_render.ndc_rays(
+            756, 1008, 815.0, 1.0, torch.from_numpy(o), torch.from_numpy(d)
+        )
+        g_o, g_d = ndc_rays(756, 1008, 815.0, 815.0, 1.0, jnp.asarray(o), jnp.asarray(d))
+        np.testing.assert_allclose(np.asarray(g_o), w_o.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_d), w_d.numpy(), atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def ref_raydist(torch):
+    import os
+
+    sys.path.insert(0, REF)
+    try:
+        mod = _load_ref_module("model/ray_dist_loss.py", "ref_ray_dist_loss")
+    finally:
+        sys.path.pop(0)
+    return mod
+
+
+class TestPrdParity:
+    @pytest.mark.parametrize("mode", ["train", "val"])
+    @pytest.mark.parametrize("method", ["NeRF", "NeRF++"])
+    def test_proj_ray_dist_loss(self, torch, ref_raydist, mode, method):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.losses.prd import prd_loss
+
+        # Consistent two-view geometry so the train mode keeps real matches
+        # (pure random rays leave the reference averaging an empty set = nan).
+        rng = np.random.RandomState(8)
+        M = 64
+        H, W = 240, 320
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = 260.0
+        K[0, 2], K[1, 2] = W / 2, H / 2
+        E = np.stack([np.eye(4), np.eye(4)]).astype(np.float32)
+        E[1, :3, 3] = [0.4, 0.0, 0.0]
+        zsign = -1.0 if method == "NeRF" else 1.0
+        pts = rng.randn(M, 3).astype(np.float32) * 0.5
+        pts[:, 2] = zsign * (4.0 + pts[:, 2])
+
+        def proj(Ei):
+            cam = (pts - Ei[:3, 3]) @ Ei[:3, :3]
+            fx = -K[0, 0] if method == "NeRF" else K[0, 0]
+            u = W / 2 + fx * cam[:, 0] / cam[:, 2]
+            v = H / 2 + K[1, 1] * cam[:, 1] / cam[:, 2]
+            return np.stack([u, v], -1).astype(np.float32)
+
+        kps0 = proj(E[0]) + rng.randn(M, 2).astype(np.float32) * 0.5
+        kps1 = proj(E[1]) + rng.randn(M, 2).astype(np.float32) * 0.5
+        o0 = np.broadcast_to(E[0, :3, 3], (M, 3)).astype(np.float32).copy()
+        o1 = np.broadcast_to(E[1, :3, 3], (M, 3)).astype(np.float32).copy()
+        d0 = (pts - o0 + rng.randn(M, 3) * 1e-3).astype(np.float32)
+        d1 = (pts - o1 + rng.randn(M, 3) * 1e-3).astype(np.float32)
+
+        class Args:
+            proj_ray_dist_threshold = 5.0
+
+        want_loss, want_n = ref_raydist.proj_ray_dist_loss_single(
+            torch.from_numpy(kps0), torch.from_numpy(kps1), 0, 1,
+            (torch.from_numpy(o0), torch.from_numpy(d0)),
+            (torch.from_numpy(o1), torch.from_numpy(d1)),
+            mode, "cpu", H, W, Args(),
+            intrinsic=torch.from_numpy(K.copy()),
+            extrinsic=torch.from_numpy(E.copy()),
+            method=method,
+        )
+        got_loss, got_n = prd_loss(
+            jnp.asarray(kps0), jnp.asarray(kps1),
+            (jnp.asarray(o0), jnp.asarray(d0)),
+            (jnp.asarray(o1), jnp.asarray(d1)),
+            jnp.asarray(K), jnp.asarray(E),
+            threshold=5.0, method=method, mode=mode,
+        )
+        np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=2e-4)
+        if mode == "train":
+            assert int(got_n) == int(want_n)
+
+
+@pytest.fixture(scope="module")
+def ref_get_rays(torch):
+    return _load_ref_module("NeRF/get_rays.py", "ref_get_rays")
+
+
+class TestRayParity:
+    def test_get_rays_no_camera(self, torch, ref_get_rays):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.camera.rays import rays_no_camera
+
+        H, W, f = 24, 32, 30.0
+        E = np.eye(4, dtype=np.float32)
+        E[:3, 3] = [1, 2, 3]
+        w_o, w_d = ref_get_rays.get_rays_full_image_no_camera(
+            H, W, f, torch.from_numpy(E)
+        )
+        g_o, g_d = rays_no_camera(H, W, f, jnp.asarray(E))
+        np.testing.assert_allclose(
+            np.asarray(g_d).reshape(H, W, 3), w_d.numpy(), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_o).reshape(H, W, 3), w_o.numpy(), atol=1e-6
+        )
+
+    def test_get_rays_kps_vs_camera_path(self, torch, ref_get_rays):
+        """Our OPENGL camera path vs the reference's kps-no-camera variant
+        (centered principal point, fx=fy)."""
+        import jax.numpy as jnp
+
+        from scnerf_tpu.camera import CameraConfig, OPENGL, init_camera, pixels_to_rays
+
+        H, W, f = 24, 32, 30.0
+        E = np.eye(4, dtype=np.float32)
+        E[:3, 3] = [0.5, -0.2, 1.0]
+        kps = np.stack([
+            np.random.RandomState(9).randint(0, W, 16),
+            np.random.RandomState(10).randint(0, H, 16),
+        ], axis=-1).astype(np.float32)
+        w_o, w_d = ref_get_rays.get_rays_kps_no_camera(
+            H, W, f, torch.from_numpy(E), torch.from_numpy(kps)
+        )
+        K = np.array([[f, 0, W / 2, 0], [0, f, H / 2, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+        cam = init_camera(K, E[None], CameraConfig(H=H, W=W, convention=OPENGL))
+        g_o, g_d = pixels_to_rays(
+            cam, jnp.asarray(kps[:, 0]), jnp.asarray(kps[:, 1]), image_idx=0,
+            add_noise=False,
+        )
+        np.testing.assert_allclose(np.asarray(g_d), w_d.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_o), w_o.numpy(), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_lookup(torch):
+    return _load_ref_module("model/lookup.py", "ref_lookup")
+
+
+class TestLookupParity:
+    def test_undistort_pixels(self, torch, ref_lookup):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.camera.distortion import undistort_pixels
+
+        W, H = 320, 240
+        k = np.array([0.1, -0.02], np.float32)
+        rng = np.random.RandomState(11)
+        x = (rng.rand(64) * (W - 20) + 10).astype(np.float32)
+        y = (rng.rand(64) * (H - 20) + 10).astype(np.float32)
+        want_valid, want_xy = ref_lookup.lookup(
+            W, H, torch.from_numpy(k), torch.from_numpy(x), torch.from_numpy(y), "cpu"
+        )
+        got_valid, got_xy = undistort_pixels(W, H, jnp.asarray(k), jnp.asarray(x), jnp.asarray(y))
+        np.testing.assert_array_equal(np.asarray(got_valid), want_valid.numpy())
+        np.testing.assert_allclose(np.asarray(got_xy), want_xy.numpy(), atol=1e-3)
