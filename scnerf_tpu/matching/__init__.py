@@ -1,1 +1,5 @@
-
+from scnerf_tpu.matching.pairs import image_pair_candidates, flatten_pairs
+from scnerf_tpu.matching.provider import (
+    PairMatches, PrecomputedMatches, SIFTMatcher, SuperGlueMatcher,
+    build_match_cache, pad_matches, sift_available,
+)

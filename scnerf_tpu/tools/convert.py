@@ -1,0 +1,84 @@
+"""Reference-checkpoint conversion (torch state dicts -> scnerf-tpu pytrees).
+
+Lets an SCNeRF user bring trained reference checkpoints across. Mappings:
+
+- NeRF MLP (``/root/reference/NeRF/run_nerf_helpers.py:76-128``):
+  ``pts_linears.{i}.weight`` (out, in) -> ``params["pts"][i]["w"]`` (in, out)
+  transposed, same for bias; heads ``feature_linear``/``alpha_linear``/
+  ``views_linears.0``/``rgb_linear`` -> ``feature``/``alpha``/``views``/
+  ``rgb``.
+- NeRF++ MLPNet (``nerf_network.py:70-142``): ``base_layers.{i}.0`` ->
+  ``base[i]``, ``sigma_layers.0`` -> ``sigma``, ``base_remap_layers.0`` ->
+  ``remap``, ``rgb_layers.{0,2}`` -> ``rgb0``/``rgb1``.
+- Camera model (``model/camera_model.py``): field names are identical
+  (``intrinsics_initial`` -> ``intrinsics_init`` etc.).
+
+Inputs are plain dicts of numpy arrays — pass
+``{k: v.numpy() for k, v in torch.load(path)["network_fn_state_dict"].items()}``
+so this module itself never imports torch.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _dense(sd: dict, prefix: str) -> dict:
+    w = np.asarray(sd[f"{prefix}.weight"])
+    b = np.asarray(sd[f"{prefix}.bias"])
+    return {"w": jnp.asarray(w.T), "b": jnp.asarray(b)}
+
+
+def torch_nerf_to_params(state_dict: dict, depth: int = 8) -> dict:
+    """Reference ``NeRF`` module state dict -> our MLP param pytree."""
+    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    params = {"pts": [_dense(sd, f"pts_linears.{i}") for i in range(depth)]}
+    if "feature_linear.weight" in sd:
+        params["feature"] = _dense(sd, "feature_linear")
+        params["alpha"] = _dense(sd, "alpha_linear")
+        params["views"] = _dense(sd, "views_linears.0")
+        params["rgb"] = _dense(sd, "rgb_linear")
+    else:
+        params["output"] = _dense(sd, "output_linear")
+    return params
+
+
+def torch_mlpnet_to_params(state_dict: dict, depth: int = 8) -> dict:
+    """Reference NeRF++ ``MLPNet`` state dict -> our param pytree."""
+    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    return {
+        "base": [_dense(sd, f"base_layers.{i}.0") for i in range(depth)],
+        "sigma": _dense(sd, "sigma_layers.0"),
+        "remap": _dense(sd, "base_remap_layers.0"),
+        "rgb0": _dense(sd, "rgb_layers.0"),
+        "rgb1": _dense(sd, "rgb_layers.2"),
+    }
+
+
+def torch_nerfnet_to_params(state_dict: dict, depth: int = 8) -> dict:
+    """Reference ``NerfNet``/``NerfNetWithAutoExpo`` -> our fg/bg pytree."""
+    sd = {k.replace("module.", "").replace("nerf_net.", ""): v
+          for k, v in state_dict.items()}
+    fg = {k[len("fg_net."):]: v for k, v in sd.items() if k.startswith("fg_net.")}
+    bg = {k[len("bg_net."):]: v for k, v in sd.items() if k.startswith("bg_net.")}
+    return {
+        "fg": torch_mlpnet_to_params(fg, depth),
+        "bg": torch_mlpnet_to_params(bg, depth),
+    }
+
+
+def torch_camera_to_fields(state_dict: dict) -> dict:
+    """Reference camera model state dict -> kwargs for ``Camera.replace``."""
+    sd = {k.replace("module.", ""): np.asarray(v) for k, v in state_dict.items()}
+    mapping = {
+        "intrinsics_initial": "intrinsics_init",
+        "extrinsics_initial": "extrinsics_init",
+        "distortion_initial": "distortion_init",
+        "intrinsics_noise": "intrinsics_noise",
+        "extrinsics_noise": "extrinsics_noise",
+        "distortion_noise": "distortion_noise",
+        "ray_o_noise": "ray_o_grid",
+        "ray_d_noise": "ray_d_grid",
+    }
+    return {ours: jnp.asarray(sd[theirs]) for theirs, ours in mapping.items()
+            if theirs in sd}

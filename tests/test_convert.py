@@ -1,0 +1,135 @@
+"""Checkpoint-conversion parity: build the REFERENCE torch modules, convert
+their weights, and compare full forward passes against ours."""
+import sys
+
+import numpy as np
+import pytest
+
+from tests.test_reference_parity import _load_ref_module
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_helpers():
+    return _load_ref_module("NeRF/run_nerf_helpers.py", "ref_run_nerf_helpers")
+
+
+@pytest.fixture(scope="module")
+def ref_nerfpp_net():
+    return _load_ref_module("nerfplusplus/nerf_network.py", "ref_nerf_network")
+
+
+class TestNerfMlpConversion:
+    def test_forward_parity(self, ref_helpers):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.fields.encoding import EncodingConfig, positional_encoding
+        from scnerf_tpu.fields.nerf import NeRFConfig, nerf_mlp_apply
+        from scnerf_tpu.tools.convert import torch_nerf_to_params
+
+        torch.manual_seed(0)
+        input_ch, input_ch_views = 63, 27
+        ref = ref_helpers.NeRF(
+            D=8, W=256, input_ch=input_ch, input_ch_views=input_ch_views,
+            use_viewdirs=True,
+        )
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = torch_nerf_to_params(sd)
+
+        cfg = NeRFConfig()  # multires 10/4 -> 63/27 channels
+        rng = np.random.RandomState(0)
+        pts = rng.randn(128, 3).astype(np.float32) * 0.5
+        vd = rng.randn(128, 3).astype(np.float32)
+        vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+
+        pe = positional_encoding(jnp.asarray(pts), EncodingConfig(3, 10))
+        ve = positional_encoding(jnp.asarray(vd), EncodingConfig(3, 4))
+        got = np.asarray(nerf_mlp_apply(params, cfg, pe, ve))
+
+        with torch.no_grad():
+            x = torch.cat(
+                [torch.from_numpy(np.asarray(pe)), torch.from_numpy(np.asarray(ve))],
+                dim=-1,
+            )
+            want = ref(x).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_no_viewdirs_variant(self, ref_helpers):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.fields.encoding import EncodingConfig, positional_encoding
+        from scnerf_tpu.fields.nerf import NeRFConfig, nerf_mlp_apply
+        from scnerf_tpu.tools.convert import torch_nerf_to_params
+
+        torch.manual_seed(1)
+        ref = ref_helpers.NeRF(D=8, W=256, input_ch=63, output_ch=4, use_viewdirs=False)
+        params = torch_nerf_to_params(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        )
+        cfg = NeRFConfig(use_viewdirs=False)
+        rng = np.random.RandomState(1)
+        pts = rng.randn(64, 3).astype(np.float32)
+        pe = positional_encoding(jnp.asarray(pts), EncodingConfig(3, 10))
+        got = np.asarray(nerf_mlp_apply(params, cfg, pe, None))
+        with torch.no_grad():
+            # The reference forward always splits off input_ch_views (=3)
+            # trailing channels even when unused — pad with zeros.
+            x = torch.cat(
+                [torch.from_numpy(np.asarray(pe)), torch.zeros(pe.shape[0], 3)], dim=-1
+            )
+            want = ref(x).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestMlpNetConversion:
+    def test_forward_parity(self, ref_nerfpp_net):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.fields.encoding import EncodingConfig, positional_encoding
+        from scnerf_tpu.fields.nerfpp import NerfPPConfig, mlpnet_apply
+        from scnerf_tpu.tools.convert import torch_mlpnet_to_params
+
+        torch.manual_seed(2)
+        cfg = NerfPPConfig()  # max_freq 10/4
+        in_ch = cfg.pos_encoding(3).out_dim
+        view_ch = cfg.view_encoding.out_dim
+        ref = ref_nerfpp_net.MLPNet(
+            D=8, W=256, input_ch=in_ch, input_ch_viewdirs=view_ch, use_viewdirs=True
+        )
+        params = torch_mlpnet_to_params(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        )
+        rng = np.random.RandomState(2)
+        pts = rng.randn(64, 3).astype(np.float32) * 0.4
+        vd = rng.randn(64, 3).astype(np.float32)
+        vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+        pe = positional_encoding(jnp.asarray(pts), cfg.pos_encoding(3))
+        ve = positional_encoding(jnp.asarray(vd), cfg.view_encoding)
+        rgb, sigma = mlpnet_apply(params, cfg, pe, ve)
+        with torch.no_grad():
+            out = ref(torch.cat(
+                [torch.from_numpy(np.asarray(pe)), torch.from_numpy(np.asarray(ve))],
+                dim=-1,
+            ))
+        np.testing.assert_allclose(np.asarray(rgb), out["rgb"].numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(sigma), out["sigma"].numpy(), atol=2e-5)
+
+
+class TestCameraConversion:
+    def test_field_mapping(self):
+        from scnerf_tpu.tools.convert import torch_camera_to_fields
+
+        rng = np.random.RandomState(3)
+        sd = {
+            "intrinsics_initial": rng.rand(4).astype(np.float32),
+            "extrinsics_initial": rng.rand(5, 9).astype(np.float32),
+            "intrinsics_noise": rng.rand(4).astype(np.float32),
+            "extrinsics_noise": rng.rand(5, 9).astype(np.float32),
+            "ray_o_noise": rng.rand(7, 9, 3).astype(np.float32),
+            "ray_d_noise": rng.rand(7, 9, 3).astype(np.float32),
+        }
+        fields = torch_camera_to_fields(sd)
+        np.testing.assert_array_equal(np.asarray(fields["intrinsics_init"]), sd["intrinsics_initial"])
+        np.testing.assert_array_equal(np.asarray(fields["ray_o_grid"]), sd["ray_o_noise"])
+        assert "distortion_init" not in fields
