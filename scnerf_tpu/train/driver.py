@@ -369,6 +369,28 @@ def train_loop(
                 res = evaluate_test_views(exp, max_views=2)
                 res.update(evaluate_prd(exp))
                 exp.logger.log(step_now, {f"test/{k}": v for k, v in res.items()})
+            if step_now % cfg.logging.i_img == 0 and exp.logger is not None and len(exp.i_test):
+                # One validation render (the reference's i_img hook,
+                # run_nerf.py:819-894): PSNR logged, PNG dumped.
+                idx = int(exp.i_test[0])
+                c2w = (
+                    aligned_eval_extrinsic(exp, idx)
+                    if exp.state.params.get("camera") is not None
+                    else exp.gt_poses[idx]
+                )
+                out = render_image(exp, c2w)
+                mse = float(img2mse(jnp.asarray(out["rgb"]), jnp.asarray(exp.images[idx])))
+                exp.logger.log(step_now, {"val/psnr": float(mse2psnr(jnp.asarray(mse)))})
+                try:
+                    import imageio.v2 as imageio
+                    from scnerf_tpu.core.imaging import to8b
+
+                    imageio.imwrite(
+                        os.path.join(exp.logger.expdir, f"val_{step_now:08d}.png"),
+                        to8b(out["rgb"]),
+                    )
+                except Exception:
+                    pass
             if step_now % cfg.logging.camera_log == 0 and exp.state.params.get("camera") is not None:
                 from scnerf_tpu.camera.model import camera_log_dict
 
