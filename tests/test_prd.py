@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scnerf_tpu.camera import (
+    OPENGL,
     CameraConfig,
     OPENCV,
     get_extrinsic,
@@ -154,3 +155,36 @@ class TestPairs:
         E = np.broadcast_to(np.eye(4), (2, 4, 4)).copy()
         pairs = image_pair_candidates(E, 30.0, i_map=np.array([5, 9]))
         assert set(pairs.keys()) == {5, 9}
+
+
+class TestPrdDegenerate:
+    def test_identical_cameras_finite_gradients(self):
+        """run_without_colmap=both init: every camera at identity/origin.
+        Rays are parallel, triangulation is degenerate — the loss must be
+        finite AND its gradient must be finite (regression: NaN leaked
+        through jnp.where gradients before clamping)."""
+        H = W = 64
+        cfg = CameraConfig(H=H, W=W, grid_size=8, convention=OPENGL,
+                           extrinsics_noise_scale=1.0)
+        K = np.array([[float(W), 0, W / 2, 0], [0, float(H), H / 2, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]])
+        E = np.broadcast_to(np.eye(4), (3, 4, 4)).copy()
+        cam = init_camera(K, E, cfg)
+        rng = np.random.RandomState(0)
+        kps0 = (rng.rand(32, 2) * [W - 1, H - 1]).astype(np.float32)
+        kps1 = (rng.rand(32, 2) * [W - 1, H - 1]).astype(np.float32)
+
+        def f(cam):
+            r0 = pixels_to_rays(cam, jnp.asarray(kps0[:, 0]), jnp.asarray(kps0[:, 1]), image_idx=0)
+            r1 = pixels_to_rays(cam, jnp.asarray(kps1[:, 0]), jnp.asarray(kps1[:, 1]), image_idx=1)
+            loss, n = prd_loss(
+                jnp.asarray(kps0), jnp.asarray(kps1), r0, r1,
+                get_intrinsic(cam), get_extrinsic(cam, jnp.array([0, 1])),
+                method="NeRF", mode="train",
+            )
+            return jnp.where(n > 0, loss, 0.0)
+
+        val, g = jax.value_and_grad(f)(cam)
+        assert np.isfinite(float(val))
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all(), "NaN/Inf in PRD gradient"
