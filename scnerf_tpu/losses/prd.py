@@ -47,16 +47,28 @@ def prd_pointwise(
 
     r01 = jnp.sum(d0 * d1, axis=-1)
     o_diff = o0 - o1
-    denom = r01**2 - 1.0 + _EPS
+    # Identical to the reference's r01^2 - 1 + eps denominator
+    # (ray_dist_loss.py:143,156) for every pair whose rays subtend more than
+    # ~0.57 deg (1 - r01^2 > 1e-4); pairs below that are geometrically
+    # untriangulable — the reference lets their t explode and filters them by
+    # the loss threshold, but the exploded intermediate carries ~1e18-scale
+    # partial derivatives that overflow XLA's fused backward into NaN
+    # (measured: eager fine, jit NaN). Flooring the denominator bounds every
+    # partial while leaving non-degenerate numerics bit-identical.
+    denom = jnp.minimum(r01**2 - 1.0 + _EPS, -1e-4)
     t0 = (jnp.sum(d0 * o_diff, -1) - r01 * jnp.sum(d1 * o_diff, -1)) / denom
     t1 = (jnp.sum(d1 * -o_diff, -1) - r01 * jnp.sum(d0 * -o_diff, -1)) / denom
-    # Degenerate (near-parallel) ray pairs drive |t| -> 1/eps and the squared
-    # reprojection error overflows f32 to inf. The reference drops such
-    # entries by boolean indexing, which also removes them from autodiff;
-    # with mask-based selection the NaN would leak through jnp.where
-    # gradients (0 * inf), so clamp here — clipped entries get zero gradient,
-    # matching the reference's drop semantics.
-    _T_MAX = 1e8
+    # Degenerate (near-parallel) ray pairs drive |t| -> 1/eps; the squared
+    # reprojection error then overflows f32, and worse, near-vanishing-point
+    # projections of such points can pass the loss filter with ~1e17-scale
+    # partial derivatives that overflow under XLA's fused backward (measured:
+    # eager grads finite, combined-jit grads NaN). The reference drops
+    # degenerate entries by boolean indexing, removing them from autodiff;
+    # here we clamp the ray parameter to a generous scene-scale bound —
+    # clipped entries keep their (garbage, filtered) value but get zero
+    # t-gradient, matching the reference's drop semantics and keeping every
+    # partial comfortably inside f32 under any fusion order.
+    _T_MAX = 1e4
     t0 = jnp.clip(t0, -_T_MAX, _T_MAX)
     t1 = jnp.clip(t1, -_T_MAX, _T_MAX)
 
@@ -67,7 +79,17 @@ def prd_pointwise(
         p4 = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
         cam = jnp.matmul(p4, w2c.T, precision="highest")
         pix = jnp.matmul(cam, K.T, precision="highest")
-        return pix[..., :2] / (pix[..., 2:3] + _EPS)
+        # The reference divides by z + eps (ray_dist_loss.py:173-176), but
+        # z + 1e-10 rounds to EXACTLY zero for z ~ -1e-10, making the local
+        # partial inf; 0 * inf then leaks NaN through the masked-out entries'
+        # vjp even though their cotangent is zero. Use a sign-preserving
+        # floor instead: identical values for every non-degenerate point
+        # (|z| >= 1e-6 in pixels means anything remotely in front of or
+        # behind the camera), bounded partials everywhere.
+        z = pix[..., 2:3]
+        z_floor = jnp.where(z < 0, -1e-6, 1e-6)
+        z_safe = jnp.where(jnp.abs(z) < 1e-6, z_floor, z)
+        return pix[..., :2] / z_safe
 
     p0_in_im1 = project(p0, ext_inv[1])
     p1_in_im0 = project(p1, ext_inv[0])
@@ -76,7 +98,7 @@ def prd_pointwise(
     # Second overflow guard: the projection itself can reach ~1e12 px for
     # surviving near-degenerate points; cap the squared error well above any
     # real threshold so downstream masking keeps finite gradients.
-    _L_MAX = 1e12
+    _L_MAX = 1e8
     loss0 = jnp.minimum(jnp.sum((p1_in_im0 - kps0) ** 2, axis=-1), _L_MAX)
     loss1 = jnp.minimum(jnp.sum((p0_in_im1 - kps1) ** 2, axis=-1), _L_MAX)
     return loss0, loss1, chirality

@@ -62,6 +62,23 @@ def frozen_mask(params: Any) -> Any:
     return _camera_mask(params, ("intrinsics_init", "extrinsics_init", "distortion_init"))
 
 
+def clip_grads_elementwise(bound: float) -> optax.GradientTransformation:
+    """Element-wise gradient clamp to ``[-bound, bound]``.
+
+    Unlike ``clip_by_global_norm`` this maps inf -> bound (a single inf makes
+    the global norm inf and turns every gradient into NaN via 0*inf). Used as
+    a production guard against optimizer-state poisoning: one pathological
+    step otherwise drives Adam's second moment to inf permanently.
+    """
+
+    def update(updates, state, params=None):
+        import jax.numpy as jnp
+
+        return jax.tree.map(lambda g: jnp.clip(g, -bound, bound), updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
+
+
 def make_optimizer(
     lr_init: float,
     decay_steps: float,
@@ -71,10 +88,18 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     params_example: Any = None,
+    grad_clip: float = 1e6,
 ) -> optax.GradientTransformation:
-    """Adam + exp decay + masked L2-in-grad decay + frozen-initials zeroing."""
+    """Adam + exp decay + masked L2-in-grad decay + frozen-initials zeroing.
+
+    ``grad_clip``: element-wise gradient bound (0 disables). The default 1e6
+    is far above any healthy gradient; it only guards against pathological
+    overflow poisoning Adam state.
+    """
     schedule = exp_decay_schedule(lr_init, decay_factor, decay_steps)
     chain = []
+    if grad_clip > 0:
+        chain.append(clip_grads_elementwise(grad_clip))
     if weight_decay > 0.0 and params_example is not None:
         mask = noise_decay_mask(params_example)
         chain.append(optax.masked(optax.add_decayed_weights(weight_decay), mask))
