@@ -162,6 +162,7 @@ def load_llff(
     bd_factor: float = 0.75,
     spherify: bool = False,
     llffhold: int = 8,
+    path_zflat: bool = False,
     noise: NoiseConfig | None = None,
     rng: np.random.RandomState | None = None,
 ) -> LLFFData:
@@ -199,7 +200,16 @@ def load_llff(
         focal_path = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
         tt = poses[:, :3, 3]
         rads = np.percentile(np.abs(tt), 90, 0)
-        render_poses = render_path_spiral(c2w, up, rads, focal_path, zrate=0.5, rots=2, N=120)
+        n_rots, n_views = 2, 120
+        if path_zflat:
+            # flattened spiral (load_llff.py:289-295)
+            zloc = -close_depth * 0.1
+            c2w[:3, 3] = c2w[:3, 3] + zloc * c2w[:3, 2]
+            rads[2] = 0.0
+            n_rots, n_views = 1, 60
+        render_poses = render_path_spiral(
+            c2w, up, rads, focal_path, zrate=0.5, rots=n_rots, N=n_views
+        )
 
     c2w = poses_avg(poses)
     if llffhold > 0:
