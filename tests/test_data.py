@@ -188,3 +188,11 @@ class TestBatching:
         t = gather_target(imgs, np.array([0, 1]), np.array([1, 2]), np.array([0, 3]))
         np.testing.assert_allclose(t[0], imgs[0, 0, 1])
         np.testing.assert_allclose(t[1], imgs[1, 3, 2])
+
+
+class TestPathZflat:
+    def test_zflat_spiral(self, llff_dir):
+        d_normal = load_llff(llff_dir, factor=1, llffhold=3)
+        d_flat = load_llff(llff_dir, factor=1, llffhold=3, path_zflat=True)
+        assert d_normal.render_poses.shape[0] == 120
+        assert d_flat.render_poses.shape[0] == 60
