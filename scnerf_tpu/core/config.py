@@ -97,6 +97,9 @@ class SamplingConfig:
     precrop_frac: float = 0.5
     use_batching: bool = False
     det: bool = False  # deterministic sampling at render (NeRF++ flag)
+    # Sample pixel batches inside the compiled step (device PRNG + gather)
+    # instead of per-step numpy — removes host-side work from the hot loop.
+    device_sampling: bool = False
 
 
 @dataclass

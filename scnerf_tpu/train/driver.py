@@ -82,6 +82,7 @@ class NerfExperiment:
     match_cache: PrecomputedMatches | None = None
     pair_list: np.ndarray | None = None
     ray_pool: RayPool | None = None
+    device_step: Any | None = None  # (state, key) step with on-device sampling
     rng: np.random.RandomState = field(default_factory=lambda: np.random.RandomState(777))
     logger: MetricLogger | None = None
 
@@ -248,6 +249,21 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
             seed=cfg.logging.seed,
         )
 
+    device_step = None
+    if (
+        cfg.sampling.device_sampling
+        and cfg.camera.use_camera
+        and not cfg.sampling.use_batching
+        and cfg.sampling.precrop_iters == 0
+    ):
+        from scnerf_tpu.train.device_sampling import make_device_sampling_step
+
+        # NOTE: with per-ray image sampling the camera table covers the train
+        # split only, so pass the train images in camera-table order.
+        device_step = make_device_sampling_step(
+            step_fn, images[i_train], n_rand=cfg.sampling.N_rand
+        )
+
     logger = MetricLogger(expdir, use_wandb=cfg.logging.use_wandb) if expdir else None
     if logger:
         logger.snapshot_config(cfg.to_json())
@@ -259,7 +275,7 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         gt_intrinsic=gt_K, gt_poses=gt_poses, noisy_poses=noisy_poses,
         noisy_focal=noisy_focal, near=near, far=far, H=H, W=W,
         match_cache=match_cache, pair_list=pair_list, ray_pool=ray_pool,
-        rng=rng, logger=logger,
+        device_step=device_step, rng=rng, logger=logger,
     )
 
 
@@ -334,14 +350,22 @@ def train_loop(
     timer = StepTimer()
     start = int(exp.state.step)
     for it in range(start, n_steps):
-        batch = sample_batch(exp, it)
         use_prd = (
             exp.step_prd_fn is not None
             and it >= exp.curriculum.add_prd
             and it % exp.curriculum.i_ray_dist_loss == 0
         )
+        batch = (
+            None
+            if (not use_prd and exp.device_step is not None)
+            else sample_batch(exp, it)
+        )
         with timer:
-            if use_prd:
+            if batch is None:
+                exp.state, metrics = exp.device_step(
+                    exp.state, jax.random.fold_in(key, it)
+                )
+            elif use_prd:
                 prd_batch = sample_prd_batch(exp)
                 if prd_batch is not None and "px" in batch:
                     batch = dict(batch, **prd_batch)

@@ -289,3 +289,40 @@ class TestReferenceConfigCompatibility:
         assert cfg.sampling.N_samples == 64
         assert cfg.sampling.raw_noise_std == 1.0
         assert cfg.model.use_viewdirs
+
+
+@pytest.mark.slow
+class TestDeviceSamplingDriver:
+    def test_driver_with_device_sampling(self, tmp_path):
+        import json
+        from tests.test_data import write_png
+        from scnerf_tpu.data.blender import pose_spherical
+
+        root = tmp_path / "ds"
+        H = W = 16
+        for split, n in [("train", 3), ("val", 1), ("test", 1)]:
+            os.makedirs(root / split, exist_ok=True)
+            frames = []
+            for i in range(n):
+                pose = np.array(pose_spherical(i * 40.0, -30.0, 4.0))
+                img = np.zeros((H, W, 4)); img[4:12, 4:12, :3] = [1, .4, .2]; img[..., 3] = 1
+                write_png(root / split / f"r_{i}.png", img)
+                frames.append({"file_path": f"./{split}/r_{i}", "transform_matrix": pose.tolist()})
+            (root / f"transforms_{split}.json").write_text(
+                json.dumps({"camera_angle_x": 0.69, "frames": frames}))
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.driver import build_experiment, train_loop
+
+        cfg = experiment_from_flags({
+            "dataset_type": "blender", "datadir": str(root), "white_bkgd": True,
+            "N_rand": 32, "N_samples": 8, "N_importance": 8, "netdepth": 3,
+            "netwidth": 32, "multires": 4, "multires_views": 2,
+            "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
+            "device_sampling": True, "i_print": 100, "i_weights": 1000,
+            "expname": "dsamp", "basedir": str(tmp_path / "logs"),
+        }, warn=lambda *a: None)
+        exp = build_experiment(cfg, None)
+        assert exp.device_step is not None
+        state, metrics = train_loop(exp, n_steps=5)
+        assert int(state.step) == 5
+        assert np.isfinite(float(metrics["loss"]))

@@ -140,3 +140,46 @@ class TestNdcTraining:
         # Gradient reached the intrinsics through the NDC warp.
         state, _ = step(state, batch, jax.random.fold_in(key, 1))
         assert float(jnp.abs(state.params["camera"].intrinsics_noise).sum()) > 0
+
+
+class TestDeviceSampling:
+    def test_batch_contents(self):
+        from scnerf_tpu.train.device_sampling import sample_batch_on_device
+
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(3, 20, 24, 3).astype(np.float32))
+        b = jax.jit(lambda k: sample_batch_on_device(images, k, 64))(jax.random.key(1))
+        assert b["px"].shape == (64,) and b["target"].shape == (64, 3)
+        # gathered targets match manual indexing
+        np.testing.assert_allclose(
+            np.asarray(b["target"]),
+            np.asarray(images)[np.asarray(b["img_idx"]),
+                               np.asarray(b["py"]).astype(int),
+                               np.asarray(b["px"]).astype(int)],
+        )
+        assert int(b["px"].max()) < 24 and int(b["py"].max()) < 20
+        # single image per batch
+        assert len(np.unique(np.asarray(b["img_idx"]))) == 1
+
+    def test_precrop_bounds(self):
+        from scnerf_tpu.train.device_sampling import sample_batch_on_device
+
+        images = jnp.zeros((2, 40, 60, 3))
+        b = sample_batch_on_device(images, jax.random.key(2), 256, precrop_frac=0.5)
+        assert float(b["px"].min()) >= 15 and float(b["px"].max()) < 45
+        assert float(b["py"].min()) >= 10 and float(b["py"].max()) < 30
+
+    def test_wrapped_step_trains(self):
+        from scnerf_tpu.train.device_sampling import make_device_sampling_step
+
+        state, base_step, _ = build()
+        cam, px, py, target = synthetic_scene()
+        images = jnp.asarray(np.asarray(target).reshape(1, 16, 16, 3))
+        step = make_device_sampling_step(base_step, images, n_rand=128)
+        key = jax.random.key(3)
+        losses = []
+        for i in range(20):
+            state, m = step(state, jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
