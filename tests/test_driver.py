@@ -326,3 +326,17 @@ class TestDeviceSamplingDriver:
         state, metrics = train_loop(exp, n_steps=5)
         assert int(state.step) == 5
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestFisheyeConfig:
+    def test_fisheye_preset_maps_to_distortion_camera(self):
+        cfg = load_experiment("configs/fisheyenerf/globe_ours.txt", warn=lambda *a: None)
+        assert cfg.camera.use_camera and cfg.camera.use_distortion
+        assert cfg.dataset.normalize_factor == 3.0
+        assert cfg.model.cascade_samples == (64, 128)
+        assert cfg.camera.add_radial == 800001
+
+    def test_reference_fisheye_camera_model_name(self):
+        # the reference fisheye configs use `camera_model = fisheye`
+        cfg = experiment_from_flags({"camera_model": "fisheye"}, warn=lambda *a: None)
+        assert cfg.camera.use_camera and cfg.camera.use_distortion
