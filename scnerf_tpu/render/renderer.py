@@ -171,17 +171,21 @@ def render_chunked(
     fr = _pad(jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n,))).reshape(n_chunks, chunk)
     keys = jax.random.split(key, n_chunks)
 
-    def body(args):
-        ro_c, rd_c, vd_c, nr_c, fr_c, k = args
-        return render_rays(
-            params, model_cfg, render_cfg, ro_c, rd_c, vd_c, nr_c, fr_c, k
-        )
+    if vd is not None:
+        def body(args):
+            ro_c, rd_c, vd_c, nr_c, fr_c, k = args
+            return render_rays(
+                params, model_cfg, render_cfg, ro_c, rd_c, vd_c, nr_c, fr_c, k
+            )
 
-    xs = (ro, rd, vd, nr, fr, keys) if vd is not None else (ro, rd, None, nr, fr, keys)
-    if vd is None:
-        def body(args):  # noqa: F811 — closed over vd=None variant
+        xs = (ro, rd, vd, nr, fr, keys)
+    else:
+        def body(args):
             ro_c, rd_c, nr_c, fr_c, k = args
-            return render_rays(params, model_cfg, render_cfg, ro_c, rd_c, None, nr_c, fr_c, k)
+            return render_rays(
+                params, model_cfg, render_cfg, ro_c, rd_c, None, nr_c, fr_c, k
+            )
+
         xs = (ro, rd, nr, fr, keys)
     out = jax.lax.map(body, xs)
     return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
