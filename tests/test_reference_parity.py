@@ -331,3 +331,46 @@ class TestLookupParity:
         got_valid, got_xy = undistort_pixels(W, H, jnp.asarray(k), jnp.asarray(x), jnp.asarray(y))
         np.testing.assert_array_equal(np.asarray(got_valid), want_valid.numpy())
         np.testing.assert_allclose(np.asarray(got_xy), want_xy.numpy(), atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def ref_ddp_model(torch):
+    import os
+
+    sys.path.insert(0, os.path.join(REF, "nerfplusplus"))
+    try:
+        mod = _load_ref_module("nerfplusplus/ddp_model.py", "ref_ddp_model")
+    finally:
+        sys.path.pop(0)
+    return mod
+
+
+class TestNerfPPGeometryParity:
+    def test_depth2pts_outside(self, torch, ref_ddp_model):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.geometry.sphere import depth2pts_outside
+
+        rng = np.random.RandomState(12)
+        o = (rng.randn(32, 8, 3) * 0.2).astype(np.float32)
+        d = rng.randn(32, 8, 3).astype(np.float32)
+        depth = rng.rand(32, 8).astype(np.float32) * 0.9 + 0.05
+        w_pts, w_real = ref_ddp_model.depth2pts_outside(
+            torch.from_numpy(o), torch.from_numpy(d), torch.from_numpy(depth)
+        )
+        g_pts, g_real = depth2pts_outside(jnp.asarray(o), jnp.asarray(d), jnp.asarray(depth))
+        np.testing.assert_allclose(np.asarray(g_pts), w_pts.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(g_real), w_real.numpy(), rtol=2e-4)
+
+    def test_nerfpp_embedder(self, torch):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.fields.encoding import EncodingConfig, positional_encoding
+
+        ref_net = _load_ref_module("nerfplusplus/nerf_network.py", "ref_nerf_network2")
+        emb = ref_net.Embedder(input_dim=4, max_freq_log2=9, N_freqs=10)
+        rng = np.random.RandomState(13)
+        x = rng.randn(16, 4).astype(np.float32)
+        want = emb(torch.from_numpy(x)).numpy()
+        got = np.asarray(positional_encoding(jnp.asarray(x), EncodingConfig(4, 10)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
