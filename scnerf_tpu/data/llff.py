@@ -50,94 +50,151 @@ def _minify(basedir: str, factor: int) -> str:
     return out
 
 
-def normalize(x):
-    return x / np.linalg.norm(x)
+# ---------------------------------------------------------------------------
+# Pose geometry. These reproduce the BEHAVIOR of the LLFF pose pipeline the
+# reference inherits from Fyusion/LLFF (see /root/reference/NeRF/load_llff.py
+# for the call-site line numbers cited per function), re-derived from the
+# geometry and written batched; numerics are pinned by oracle tests against
+# the reference module itself (tests/test_reference_parity.py).
+# ---------------------------------------------------------------------------
 
 
-def viewmatrix(z, up, pos):
-    vec2 = normalize(z)
-    vec0 = normalize(np.cross(up, vec2))
-    vec1 = normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
+def _unit(v, axis=-1):
+    """Normalise vectors along ``axis`` (no epsilon — parity with upstream)."""
+    v = np.asarray(v, float)
+    return v / np.linalg.norm(v, axis=axis, keepdims=True)
 
 
-def poses_avg(poses):
-    hwf = poses[0, :3, -1:]
-    center = poses[:, :3, 3].mean(0)
-    vec2 = normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    return np.concatenate([viewmatrix(vec2, up, center), hwf], 1)
+def camera_frame(forward, up_hint, origin):
+    """Right-handed c2w basis looking along ``forward``: columns [x|y|z|t].
+
+    ``x = up_hint × ẑ`` (then unit), ``y = ẑ × x̂`` — i.e. a Gram–Schmidt
+    frame where only the direction of ``up_hint`` matters. Batched over any
+    leading dims; scalars broadcast. Behavior of ``load_llff.py:viewmatrix``.
+    """
+    fwd = _unit(np.asarray(forward, float))
+    right = _unit(np.cross(up_hint, fwd))
+    up = _unit(np.cross(fwd, right))
+    origin = np.broadcast_to(np.asarray(origin, float), fwd.shape)
+    return np.stack([right, up, fwd, origin], axis=-1)
+
+
+def average_pose(poses):
+    """The capture's mean c2w (3x5 with the hwf column of view 0).
+
+    Origin = centroid of camera centres; viewing axis = renormalised sum of
+    per-view z axes; up hint = sum of per-view y axes. Behavior of
+    ``load_llff.py:poses_avg``.
+    """
+    frame = camera_frame(
+        poses[:, :3, 2].sum(0), poses[:, :3, 1].sum(0), poses[:, :3, 3].mean(0)
+    )
+    return np.concatenate([frame, poses[0, :3, 4:]], axis=1)
+
+
+def _to_homogeneous(p34):
+    """(..., 3, 4) -> (..., 4, 4) by appending the [0,0,0,1] row."""
+    bottom = np.broadcast_to(
+        np.array([0.0, 0.0, 0.0, 1.0]), p34.shape[:-2] + (1, 4)
+    )
+    return np.concatenate([p34, bottom], axis=-2)
 
 
 def recenter_poses(poses):
-    poses_ = poses + 0
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = np.concatenate([poses_avg(poses)[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-    p44 = np.concatenate([poses[:, :3, :4], bottom], -2)
-    p44 = np.linalg.inv(c2w) @ p44
-    poses_[:, :3, :4] = p44[:, :3, :4]
-    return poses_
+    """Rigidly transform all c2w poses so the average pose becomes identity.
+
+    One batched matmul: ``inv(avg) @ poses``. hwf columns pass through.
+    Behavior of ``load_llff.py:recenter_poses``.
+    """
+    avg = _to_homogeneous(average_pose(poses)[:3, :4])
+    out = poses.copy()
+    out[:, :3, :4] = (np.linalg.inv(avg) @ _to_homogeneous(poses[:, :3, :4]))[:, :3, :4]
+    return out
 
 
 def render_path_spiral(c2w, up, rads, focal, zrate, rots, N):
-    render_poses = []
-    rads = np.array(list(rads) + [1.0])
-    hwf = c2w[:, 4:5]
-    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
-        c = np.dot(
-            c2w[:3, :4],
-            np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]) * rads,
-        )
-        z = normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-        render_poses.append(np.concatenate([viewmatrix(z, up, c), hwf], 1))
-    return np.stack(render_poses, 0)
+    """N c2w poses on a spiral around the average pose ``c2w`` (3x5).
+
+    Camera centres trace an ellipse with semi-axes ``rads[:2]`` in the
+    average pose's xy-plane plus a sinusoidal depth wobble (``rads[2]``,
+    ``zrate`` cycles per revolution); every pose looks at the point ``focal``
+    units in front of the average pose. Fully vectorised over the N angles.
+    Behavior of ``load_llff.py:render_path_spiral``.
+    """
+    theta = np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]
+    radii = np.append(np.asarray(rads, float), 1.0)
+    local = radii * np.stack(
+        [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), np.ones_like(theta)], -1
+    )  # (N, 4) homogeneous centres in the avg-pose frame
+    centers = local @ c2w[:3, :4].T  # (N, 3) world
+    lookat = c2w[:3, :4] @ np.array([0.0, 0.0, -focal, 1.0])
+    frames = camera_frame(centers - lookat, up, centers)  # (N, 3, 4)
+    hwf = np.broadcast_to(c2w[:3, 4:5], frames[:, :3, :1].shape)
+    return np.concatenate([frames, hwf], axis=-1)
 
 
 def spherify_poses(poses, bds):
-    p34_to_44 = lambda p: np.concatenate(
-        [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]), [p.shape[0], 1, 1])], 1
-    )
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
+    """Re-frame an inward-facing (360°) capture onto the unit sphere.
 
-    A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-    b_i = -A_i @ rays_o
-    pt_mindist = np.squeeze(
-        -np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0)) @ (b_i).mean(0)
+    1. Find the point p* minimising summed squared distance to every
+       camera's optical axis: each axis contributes the normal equation
+       ``(I - d dᵀ) p = (I - d dᵀ) o`` — solved via the mean of the
+       per-view normal matrices (one batched outer product + solve).
+    2. Build a world frame at p* whose z is the mean camera-offset
+       direction (an arbitrary fixed seed vector resolves the free in-plane
+       rotation — kept identical to upstream LLFF for dataset parity) and
+       rebase all poses into it.
+    3. Scale so the RMS camera distance is exactly 1, scaling ``bds`` along.
+    4. Emit a 120-pose circular render path at the cameras' mean height on
+       the unit sphere, each pose looking through the origin.
+
+    Behavior of ``load_llff.py:spherify_poses``. Returns
+    (rebased 3x5 poses, 120 render poses 3x5, rescaled bds).
+    """
+    axes = poses[:, :3, 2]  # (N, 3) unit optical axes
+    origins = poses[:, :3, 3]  # (N, 3) camera centres
+    reject = np.eye(3) - axes[:, :, None] * axes[:, None, :]  # I - d dᵀ, (N,3,3)
+    # mean normal matrix / mean rhs: reject is symmetric idempotent so
+    # rejectᵀ·reject = reject, but keep the explicit product for exact
+    # fp parity with upstream's formulation.
+    lhs = np.mean(reject.transpose(0, 2, 1) @ reject, axis=0)
+    rhs = np.mean((reject @ origins[:, :, None]), axis=0)[:, 0]
+    center = np.linalg.solve(lhs, rhs)
+
+    z_axis = _unit((origins - center).mean(0))
+    # Upstream LLFF's arbitrary non-collinear seed; any fixed seed works,
+    # this one is kept so converted datasets match the reference exactly.
+    x_axis = _unit(np.cross([0.1, 0.2, 0.3], z_axis))
+    y_axis = _unit(np.cross(z_axis, x_axis))
+    world = np.stack([x_axis, y_axis, z_axis, center], axis=1)  # (3, 4)
+
+    rebased = np.linalg.inv(_to_homogeneous(world[None]))[0] @ _to_homogeneous(
+        poses[:, :3, :4]
     )
-    center = pt_mindist
-    up = (poses[:, :3, 3] - center).mean(0)
-    vec0 = normalize(up)
-    vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = normalize(np.cross(vec0, vec1))
-    c2w = np.stack([vec1, vec2, vec0, center], 1)
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
-    sc = 1.0 / rad
-    poses_reset[:, :3, 3] *= sc
-    bds = bds * sc
-    rad *= sc
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad**2 - zh**2)
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
-        up2 = np.array([0, 0, -1.0])
-        vec2 = normalize(camorigin)
-        vec0 = normalize(np.cross(vec2, up2))
-        vec1 = normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
-    new_poses = np.stack(new_poses, 0)
-    new_poses = np.concatenate(
-        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1
+    scale = 1.0 / np.sqrt(np.square(rebased[:, :3, 3]).sum(-1).mean())
+    rebased[:, :3, 3] *= scale
+    bds = bds * scale
+
+    # Circle at the mean camera height zh on the (now unit) sphere.
+    zh = rebased[:, :3, 3].mean(0)[2]
+    radius = np.sqrt(1.0 - zh * zh)
+    theta = np.linspace(0.0, 2.0 * np.pi, 120)
+    centers = np.stack(
+        [radius * np.cos(theta), radius * np.sin(theta), np.full_like(theta, zh)], -1
     )
-    poses_reset = np.concatenate(
-        [poses_reset[:, :3, :4], np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)],
-        -1,
+    fwd = _unit(centers)  # look outward along the centre ray
+    right = _unit(np.cross(fwd, [0.0, 0.0, -1.0]))
+    up = _unit(np.cross(fwd, right))
+    circle = np.stack([right, up, fwd, centers], axis=-1)  # (120, 3, 4)
+
+    hwf = poses[0, :3, 4:]
+    circle = np.concatenate(
+        [circle, np.broadcast_to(hwf, circle[:, :3, :1].shape)], -1
     )
-    return poses_reset, new_poses, bds
+    rebased = np.concatenate(
+        [rebased[:, :3, :4], np.broadcast_to(hwf, rebased[:, :3, :1].shape)], -1
+    )
+    return rebased, circle, bds
 
 
 @dataclass
@@ -193,8 +250,8 @@ def load_llff(
     if spherify:
         poses, render_poses, bds = spherify_poses(poses, bds)
     else:
-        c2w = poses_avg(poses)
-        up = normalize(poses[:, :3, 1].sum(0))
+        c2w = average_pose(poses)
+        up = _unit(poses[:, :3, 1].sum(0))
         close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
         dt = 0.75
         focal_path = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
@@ -211,7 +268,7 @@ def load_llff(
             c2w, up, rads, focal_path, zrate=0.5, rots=n_rots, N=n_views
         )
 
-    c2w = poses_avg(poses)
+    c2w = average_pose(poses)
     if llffhold > 0:
         i_test = np.arange(imgs.shape[0])[::llffhold]
     else:

@@ -374,3 +374,82 @@ class TestNerfPPGeometryParity:
         want = emb(torch.from_numpy(x)).numpy()
         got = np.asarray(positional_encoding(jnp.asarray(x), EncodingConfig(4, 10)))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_load_llff(torch):
+    # load_llff.py does `from camera_model import make_rand_axis, R_axis_angle`
+    # (only used by its noise injector, which we don't exercise) — stub it.
+    stub = types.ModuleType("camera_model")
+    stub.make_rand_axis = lambda *a, **k: None
+    stub.R_axis_angle = lambda *a, **k: None
+    sys.modules.setdefault("camera_model", stub)
+    return _load_ref_module("NeRF/load_llff.py", "ref_load_llff")
+
+
+class TestLLFFPoseParity:
+    """Oracle tests pinning our re-derived pose pipeline to the reference's
+    (Fyusion/LLFF-inherited) numerics: round-1 VERDICT required data/llff.py's
+    pose block be rewritten in our own idiom with parity pinned here."""
+
+    @staticmethod
+    def _random_capture(rng, n=12, inward=False):
+        """(n, 3, 5) c2w|hwf poses: cameras scattered, roughly +z-aligned
+        (forward-facing) or looking at the origin (inward 360 capture)."""
+        centers = rng.randn(n, 3) * (2.0 if inward else 0.3)
+        if inward:
+            fwd = centers / np.linalg.norm(centers, axis=-1, keepdims=True)
+        else:
+            fwd = np.stack([rng.randn(n) * 0.2, rng.randn(n) * 0.2, np.ones(n)], -1)
+            fwd /= np.linalg.norm(fwd, axis=-1, keepdims=True)
+        up_hint = np.array([0.0, 1.0, 0.05])
+        right = np.cross(up_hint, fwd)
+        right /= np.linalg.norm(right, axis=-1, keepdims=True)
+        up = np.cross(fwd, right)
+        poses = np.stack([right, up, fwd, centers], axis=-1).astype(np.float32)
+        hwf = np.broadcast_to(np.array([[756.0], [1008.0], [815.0]], np.float32), (n, 3, 1))
+        return np.concatenate([poses, hwf], axis=-1)
+
+    def test_average_pose(self, ref_load_llff):
+        from scnerf_tpu.data.llff import average_pose
+
+        rng = np.random.RandomState(7)
+        poses = self._random_capture(rng)
+        np.testing.assert_allclose(
+            average_pose(poses), ref_load_llff.poses_avg(poses), atol=1e-6
+        )
+
+    def test_recenter_poses(self, ref_load_llff):
+        from scnerf_tpu.data.llff import recenter_poses
+
+        rng = np.random.RandomState(8)
+        poses = self._random_capture(rng)
+        np.testing.assert_allclose(
+            recenter_poses(poses), ref_load_llff.recenter_poses(poses), atol=1e-5
+        )
+
+    def test_render_path_spiral(self, ref_load_llff):
+        from scnerf_tpu.data.llff import average_pose, render_path_spiral, _unit
+
+        rng = np.random.RandomState(9)
+        poses = self._random_capture(rng)
+        c2w = average_pose(poses)
+        up = _unit(poses[:, :3, 1].sum(0))
+        rads = np.percentile(np.abs(poses[:, :3, 3]), 90, 0)
+        ours = render_path_spiral(c2w, up, rads, focal=3.1, zrate=0.5, rots=2, N=120)
+        ref = ref_load_llff.render_path_spiral(
+            c2w, up, rads, focal=3.1, zdelta=None, zrate=0.5, rots=2, N=120
+        )
+        np.testing.assert_allclose(ours, np.stack(ref, 0), atol=1e-6)
+
+    def test_spherify_poses(self, ref_load_llff):
+        from scnerf_tpu.data.llff import spherify_poses
+
+        rng = np.random.RandomState(10)
+        poses = self._random_capture(rng, inward=True)
+        bds = np.stack([np.full(12, 1.2), np.full(12, 9.0)], -1).astype(np.float32)
+        ours_poses, ours_path, ours_bds = spherify_poses(poses, bds)
+        ref_poses, ref_path, ref_bds = ref_load_llff.spherify_poses(poses, bds)
+        np.testing.assert_allclose(ours_poses, ref_poses, atol=1e-5)
+        np.testing.assert_allclose(ours_path, ref_path, atol=1e-5)
+        np.testing.assert_allclose(ours_bds, ref_bds, atol=1e-6)
