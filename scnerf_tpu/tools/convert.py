@@ -82,3 +82,49 @@ def torch_camera_to_fields(state_dict: dict) -> dict:
     }
     return {ours: jnp.asarray(sd[theirs]) for theirs, ours in mapping.items()
             if theirs in sd}
+
+
+def params_to_torch_nerf(params: dict, prefix: str = "module.") -> dict:
+    """Our MLP param pytree -> a reference ``NeRF`` state dict of numpy
+    arrays (inverse of :func:`torch_nerf_to_params`; the caller wraps values
+    in ``torch.from_numpy``). Used by the trajectory-parity harness to start
+    the actual torch reference trainer from OUR initial weights."""
+    out = {}
+
+    def put(name, leaf):
+        out[f"{prefix}{name}.weight"] = np.ascontiguousarray(np.asarray(leaf["w"]).T)
+        out[f"{prefix}{name}.bias"] = np.asarray(leaf["b"])
+
+    for i, layer in enumerate(params["pts"]):
+        put(f"pts_linears.{i}", layer)
+    if "feature" in params:
+        put("feature_linear", params["feature"])
+        put("alpha_linear", params["alpha"])
+        put("views_linears.0", params["views"])
+        put("rgb_linear", params["rgb"])
+    else:
+        put("output_linear", params["output"])
+    return out
+
+
+def camera_fields_to_torch(camera) -> dict:
+    """Our ``Camera`` pytree -> reference camera-model state dict (numpy).
+
+    Inverse of :func:`torch_camera_to_fields`; only fields the given camera
+    actually carries (non-None) are emitted."""
+    mapping = {
+        "intrinsics_init": "intrinsics_initial",
+        "extrinsics_init": "extrinsics_initial",
+        "distortion_init": "distortion_initial",
+        "intrinsics_noise": "intrinsics_noise",
+        "extrinsics_noise": "extrinsics_noise",
+        "distortion_noise": "distortion_noise",
+        "ray_o_grid": "ray_o_noise",
+        "ray_d_grid": "ray_d_noise",
+    }
+    out = {}
+    for ours, theirs in mapping.items():
+        v = getattr(camera, ours, None)
+        if v is not None:
+            out[theirs] = np.asarray(v)
+    return out

@@ -1,0 +1,286 @@
+"""Trajectory-parity harness: scnerf-tpu vs the ACTUAL torch reference.
+
+Round-1 VERDICT item 2: the 0.1 dB PSNR target needs end-to-end evidence, not
+just per-function oracles. This harness executes the strongest proxy that
+runs without real datasets:
+
+1. Builds a tiny LLFF-format scene on disk (procedural images, valid poses).
+2. Initialises OUR model, converts the weights to a reference checkpoint
+   (``tools/convert.py:params_to_torch_nerf``) and starts the REAL reference
+   trainer (``/root/reference/NeRF/run_nerf.py:82``, torch-cpu, via
+   ``scripts/_ref_driver.py``) from them with ``--ft_path``.
+3. Runs our trainer from the same weights on the same scene.
+4. Compares the per-step loss trajectories and the final weights.
+
+Determinism without shared RNG: ONE training image (2 images, llffhold 8 →
+i_test=[0], i_train=[1]) makes the reference's random image pick constant,
+and ``N_rand = H*W`` makes its no-replacement pixel choice a permutation —
+the mean MSE and its gradient are permutation-invariant. ``perturb=0`` and
+``raw_noise_std=0`` remove the remaining sampling noise, so both trainers
+are exactly deterministic and comparable step-for-step.
+
+Usage: python scripts/ref_parity.py [--steps 200] [--out PARITY_TRAJ.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+H, W, FOCAL = 24, 32, 28.0
+N_IMAGES = 2
+NEAR_FAR_FROM_BDS = True
+MLP = dict(depth=8, width=64, skips=(4,), multires=10, multires_views=4)
+SAMPLES = dict(n_samples=12, n_importance=12)
+LR, LR_DECAY = 5e-4, 250  # reference units: decay_steps = lrate_decay * 1000
+
+
+def scene_image(i: int) -> np.ndarray:
+    """Deterministic smooth test card, different per view."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    u, v = xx / W, yy / H
+    img = np.stack(
+        [
+            0.5 + 0.45 * np.sin(2 * np.pi * (u + 0.31 * i)),
+            0.5 + 0.45 * np.cos(2 * np.pi * (v - 0.17 * i)),
+            0.35 + 0.35 * np.sin(2 * np.pi * (u + v + 0.11 * i)),
+        ],
+        -1,
+    )
+    return np.clip(img * 255.0, 0, 255).round().astype(np.uint8)
+
+
+def build_scene(scene_dir: str) -> None:
+    """LLFF layout: images/, images_1/ (pre-made so the reference's _minify
+    never shells out to ImageMagick), poses_bounds.npy."""
+    import imageio.v2 as imageio
+
+    for sub in ("images", "images_1"):
+        os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
+    poses = np.zeros((N_IMAGES, 3, 5))
+    for i in range(N_IMAGES):
+        u8 = scene_image(i)
+        for sub in ("images", "images_1"):
+            imageio.imwrite(os.path.join(scene_dir, sub, f"im_{i:02d}.png"), u8)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.15 * i - 0.07, 0.08 * i - 0.04, 4.0 + 0.05 * i]
+        # disk layout columns: [down, right, back]
+        poses[i, :, :4] = np.stack(
+            [-c2w[:3, 1], c2w[:3, 0], c2w[:3, 2], c2w[:3, 3]], axis=1
+        )
+        poses[i, :, 4] = [H, W, FOCAL]
+    bounds = np.stack([np.full(N_IMAGES, 2.0), np.full(N_IMAGES, 8.0)], -1)
+    np.save(
+        os.path.join(scene_dir, "poses_bounds.npy"),
+        np.concatenate([poses.reshape(N_IMAGES, -1), bounds], -1),
+    )
+
+
+def make_init_params():
+    import jax
+
+    from scnerf_tpu.fields.nerf import NeRFConfig, init_nerf_mlp
+
+    cfg = NeRFConfig(**MLP)
+    key = jax.random.key(1234)
+    return cfg, {
+        "coarse": init_nerf_mlp(key, cfg),
+        "fine": init_nerf_mlp(jax.random.fold_in(key, 1), cfg),
+    }
+
+
+def write_init_ckpt(params, path: str) -> None:
+    import torch
+
+    from scnerf_tpu.tools.convert import params_to_torch_nerf
+
+    ckpt = {
+        "global_step": 0,
+        "network_fn_state_dict": {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in params_to_torch_nerf(params["coarse"]).items()
+        },
+        "network_fine_state_dict": {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in params_to_torch_nerf(params["fine"]).items()
+        },
+        "optimizer_state_dict": {"state": {}},
+    }
+    torch.save(ckpt, path)
+
+
+def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str):
+    """Run the real reference trainer in a subprocess; returns (mse (n,2)
+    fine/coarse, final coarse+fine param pytrees in OUR layout)."""
+    out_npz = os.path.join(workdir, "ref_out.npz")
+    flags = [
+        "--expname", "parity", "--basedir", workdir, "--datadir", scene_dir,
+        "--dataset_type", "llff", "--factor", "1", "--llffhold", "8",
+        "--no_ndc", "--no_batching", "--use_viewdirs",
+        "--netdepth", str(MLP["depth"]), "--netwidth", str(MLP["width"]),
+        "--netdepth_fine", str(MLP["depth"]), "--netwidth_fine", str(MLP["width"]),
+        "--multires", str(MLP["multires"]),
+        "--multires_views", str(MLP["multires_views"]),
+        "--N_rand", str(H * W),
+        "--N_samples", str(SAMPLES["n_samples"]),
+        "--N_importance", str(SAMPLES["n_importance"]),
+        "--perturb", "0.0", "--raw_noise_std", "0.0",
+        "--lrate", str(LR), "--lrate_decay", str(LR_DECAY),
+        "--chunk", "32768", "--netchunk_per_gpu", "65536",
+        "--N_iters", str(n_steps + 1), "--precrop_iters", "0",
+        "--i_print", "1000000", "--i_img", "1000000",
+        "--i_testset", "1000000", "--i_video", "1000000",
+        "--i_weights", str(n_steps),
+        "--ray_loss_type", "none", "--camera_model", "none",
+        "--matcher", "sift", "--seed", "777", "--ft_path", init_tar,
+    ]
+    spec = {"flags": flags, "n_steps": n_steps, "out_npz": out_npz,
+            "workdir": workdir}
+    spec_path = os.path.join(workdir, "ref_spec.json")
+    json.dump(spec, open(spec_path, "w"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "_ref_driver.py"), spec_path],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:] + "\n")
+        raise RuntimeError(f"reference trainer failed rc={r.returncode}")
+    data = np.load(out_npz)
+    mse = data["mse"].reshape(n_steps, 2)  # per step: [fine, coarse]
+
+    from scnerf_tpu.tools.convert import torch_nerf_to_params
+
+    def grab(tag):
+        sd = {k[len(tag) + 2:]: data[k] for k in data.files if k.startswith(tag + "::")}
+        return torch_nerf_to_params(sd, depth=MLP["depth"]) if sd else None
+
+    return mse, {"coarse": grab("fn"), "fine": grab("fine")}
+
+
+def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params):
+    """Run our trainer on the identical workload; returns (loss, psnr,
+    final params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scnerf_tpu.camera.rays import rays_no_camera
+    from scnerf_tpu.data.llff import load_llff
+    from scnerf_tpu.render.renderer import RenderConfig
+    from scnerf_tpu.train.optim import make_optimizer
+    from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
+
+    d = load_llff(scene_dir, factor=1, llffhold=8)
+    (train_idx,) = [int(i) for i in d.i_train]
+    near = float(d.bds.min()) * 0.9
+    far = float(d.bds.max())
+
+    idx = np.arange(H * W)
+    px, py = (idx % W).astype(np.float32), (idx // W).astype(np.float32)
+    rays_o, rays_d = rays_no_camera(
+        H, W, d.noisy_focal, jnp.asarray(d.noisy_poses[train_idx, :3, :4]), px, py
+    )
+    batch = {
+        "rays_o": rays_o,
+        "rays_d": rays_d,
+        "target": jnp.asarray(d.images[train_idx].reshape(-1, 3)),
+    }
+
+    render_cfg = RenderConfig(
+        n_samples=SAMPLES["n_samples"], n_importance=SAMPLES["n_importance"],
+        perturb=False, raw_noise_std=0.0, use_viewdirs=True,
+    )
+    train_cfg = TrainConfig(
+        lr_init=LR, lr_decay_steps=LR_DECAY * 1000, near=near, far=far,
+        use_ndc=False,
+    )
+    params = dict(init_params)
+    tx = make_optimizer(LR, LR_DECAY * 1000, params_example=params)
+    state = create_train_state(params, tx)
+    from scnerf_tpu.train.curriculum import Curriculum
+
+    step = make_train_step(
+        model_cfg, render_cfg, train_cfg, Curriculum(), tx, with_prd=False,
+        donate=False,
+    )
+    losses, psnrs = [], []
+    key = jax.random.key(0)
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+        psnrs.append(float(metrics["psnr"]))
+    return np.asarray(losses), np.asarray(psnrs), state.params
+
+
+def tree_max_diff(a, b) -> float:
+    import jax
+
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb), (len(la), len(lb))
+    return max(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max()) for x, y in zip(la, lb)
+    )
+
+
+def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = None):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
+
+    workdir = workdir or tempfile.mkdtemp(prefix="ref_parity_")
+    scene = os.path.join(workdir, "scene")
+    build_scene(scene)
+    model_cfg, init_params = make_init_params()
+    init_tar = os.path.join(workdir, "init.tar")
+    write_init_ckpt(init_params, init_tar)
+
+    print(f"[ref_parity] scene={scene} steps={n_steps}")
+    ref_mse, ref_final = run_reference(scene, n_steps, init_tar, workdir)
+    ref_loss = ref_mse.sum(1)
+    ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
+
+    our_loss, our_psnr, our_final = run_ours(scene, n_steps, model_cfg, init_params)
+
+    rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
+    w_diff = {
+        k: tree_max_diff(our_final[k], ref_final[k])
+        for k in ("coarse", "fine") if ref_final.get(k) is not None
+    }
+    report = {
+        "n_steps": n_steps,
+        "loss_rel_diff": {
+            "step0": float(rel[0]),
+            "first10_max": float(rel[:10].max()),
+            "first50_max": float(rel[: min(50, n_steps)].max()),
+            "final": float(rel[-1]),
+            "max": float(rel.max()),
+        },
+        "psnr_final": {"ref": float(ref_psnr[-1]), "ours": float(our_psnr[-1]),
+                       "abs_diff_db": float(abs(ref_psnr[-1] - our_psnr[-1]))},
+        "final_weight_max_abs_diff": w_diff,
+        "ref_loss_head": ref_loss[:5].tolist(),
+        "our_loss_head": our_loss[:5].tolist(),
+        "ref_loss_tail": ref_loss[-3:].tolist(),
+        "our_loss_tail": our_loss[-3:].tolist(),
+    }
+    print(json.dumps(report, indent=2))
+    if out_json:
+        json.dump(report, open(out_json, "w"), indent=2)
+        print(f"[ref_parity] wrote {out_json}")
+    return report
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--workdir", type=str, default=None)
+    a = ap.parse_args()
+    main(a.steps, a.out, a.workdir)
