@@ -78,8 +78,14 @@ def main(argv=None):
         print(f"[eval] trainset psnr={np.mean(psnrs):.2f} views={len(psnrs)}")
     elif args.split == "test":
         results = evaluate_test_views(exp, max_views=args.max_views)
+        from scnerf_tpu.train.driver import evaluate_prd_split
+
+        results.update(evaluate_prd_split(exp, mode="test"))
+        extra = "".join(
+            f" {k}={results[k]:.4f}" for k in ("lpips", "prd_test") if k in results
+        )
         print(f"[eval] psnr={results['psnr']:.2f} ssim={results['ssim']:.4f} "
-              f"views={results['n_views']}")
+              f"views={results['n_views']}{extra}")
         for n, idx in enumerate(exp.i_test[: args.max_views]):
             from scnerf_tpu.train.driver import aligned_eval_extrinsic
 
@@ -142,7 +148,9 @@ def _render_nerfpp(cfg, expdir, ckpt_dir, out_dir, args):
         exp.state = restored
         print(f"[render] restored step {int(restored.step)}")
     res = evaluate_nerfpp(exp, max_views=args.max_views)
-    print(f"[eval] psnr={res['psnr']:.2f} ssim={res['ssim']:.4f} views={res['n_views']}")
+    extra = f" lpips={res['lpips']:.4f}" if "lpips" in res else ""
+    print(f"[eval] psnr={res['psnr']:.2f} ssim={res['ssim']:.4f} "
+          f"views={res['n_views']} split={res['split']}{extra}")
     for i in range(res["n_views"]):
         out = render_nerfpp_image(exp, img_idx=i)
         imageio.imwrite(os.path.join(out_dir, f"{i:03d}.png"), to8b(out["rgb"]))
@@ -154,5 +162,7 @@ def _render_nerfpp(cfg, expdir, ckpt_dir, out_dir, args):
         )
     with open(os.path.join(out_dir, f"{cfg.logging.expname}.txt"), "w") as f:
         f.write(f"psnr {res['psnr']:.4f}\nssim {res['ssim']:.4f}\n")
+        if "lpips" in res:
+            f.write(f"lpips {res['lpips']:.4f}\n")
     print(f"[render] wrote {out_dir}")
     return 0

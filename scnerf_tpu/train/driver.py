@@ -81,6 +81,9 @@ class NerfExperiment:
     W: int = 0
     match_cache: PrecomputedMatches | None = None
     pair_list: np.ndarray | None = None
+    # Lazy eval-split correspondence cache (built on first val/test PRD eval).
+    eval_match_cache: PrecomputedMatches | None = None
+    eval_pair_list: np.ndarray | None = None
     ray_pool: RayPool | None = None
     device_step: Any | None = None  # (state, key) step with on-device sampling
     rng: np.random.RandomState = field(default_factory=lambda: np.random.RandomState(777))
@@ -392,6 +395,9 @@ def train_loop(
             if step_now % cfg.logging.i_testset == 0:
                 res = evaluate_test_views(exp, max_views=2)
                 res.update(evaluate_prd(exp))
+                # GT-filtered val-protocol PRD (run_nerf.py:675-714 runs the
+                # full projected_ray_distance_evaluation at every i_testset).
+                res.update(evaluate_prd_split(exp, mode="val"))
                 exp.logger.log(step_now, {f"test/{k}": v for k, v in res.items()})
             if step_now % cfg.logging.i_img == 0 and exp.logger is not None and len(exp.i_test):
                 # One validation render (the reference's i_img hook,
@@ -427,10 +433,9 @@ def train_loop(
     return exp.state, metrics
 
 
-def evaluate_prd(exp: NerfExperiment, mode: str = "val") -> dict:
-    """PRD evaluation over the train-split feasible pairs (the reference's
-    ``projected_ray_distance_evaluation``; a richer split-aware variant can
-    pass GT ray functions for the val/test filter)."""
+def evaluate_prd(exp: NerfExperiment) -> dict:
+    """Train-mode PRD over the train-split feasible pairs (the calibration
+    signal logged during training, no GT involved)."""
     if exp.match_cache is None or exp.pair_list is None or len(exp.pair_list) == 0:
         return {}
     from scnerf_tpu.camera.model import get_extrinsics, get_intrinsic
@@ -452,6 +457,81 @@ def evaluate_prd(exp: NerfExperiment, mode: str = "val") -> dict:
         threshold=exp.cfg.camera.proj_ray_dist_threshold,
     )
     return {"prd": val} if np.isfinite(val) else {}
+
+
+def _eval_split_matches(exp: NerfExperiment, split: np.ndarray):
+    """Feasible pairs + correspondences between the eval-split images,
+    built once and cached on the experiment (split-local indices)."""
+    if exp.eval_pair_list is not None:
+        return exp.eval_pair_list, exp.eval_match_cache
+    pairs = image_pair_candidates(
+        exp.gt_poses[split], exp.cfg.camera.pairing_angle_threshold
+    )
+    pair_list = flatten_pairs(pairs)
+    cache = PrecomputedMatches()
+    if len(pair_list) and sift_available():
+        cache = build_match_cache(exp.images[split], pair_list, SIFTMatcher())
+    exp.eval_pair_list, exp.eval_match_cache = pair_list, cache
+    return pair_list, cache
+
+
+def evaluate_prd_split(exp: NerfExperiment, mode: str = "val",
+                       split: np.ndarray | None = None) -> dict:
+    """GT-filtered PRD over the held-out split — the reference's headline
+    calibration-metric protocol (``model/prd_evaluation.py:66-216,223-332``):
+
+    - feasible pairs among the split's images (GT poses, angle threshold);
+    - keep only matches the GT camera triangulates to < 1 px reprojection
+      error both ways with positive ray parameters;
+    - PRD in clamp mode with the evaluated camera's intrinsics/noise but the
+      GT extrinsic for each view (the reference passes ``extrinsic=gt`` to
+      the camera ray function and ``proj_ray_dist_loss_single`` at val/test).
+    """
+    assert mode in ("val", "test")
+    from scnerf_tpu.camera.model import get_intrinsic
+    from scnerf_tpu.losses.prd_eval import prd_evaluation
+
+    split = np.asarray(exp.i_test if split is None else split)
+    if len(split) < 2:
+        return {}
+    pair_list, cache = _eval_split_matches(exp, split)
+    if len(pair_list) == 0 or cache is None:
+        return {}
+
+    camera = exp.state.params.get("camera")
+    gt_E = exp.gt_poses[split]
+    gt_focal = float(exp.gt_intrinsic[0, 0])
+
+    def rays_gt(kps, local_idx):
+        return rays_no_camera(
+            exp.H, exp.W, gt_focal, jnp.asarray(gt_E[local_idx]),
+            kps[:, 0], kps[:, 1],
+        )
+
+    if camera is not None:
+        K_eval = get_intrinsic(camera)
+
+        def rays_eval(kps, local_idx):
+            return pixels_to_rays(
+                camera, kps[:, 0], kps[:, 1], c2w=jnp.asarray(gt_E[local_idx])
+            )
+    else:
+        K_eval = jnp.asarray(exp.gt_intrinsic)
+
+        def rays_eval(kps, local_idx):
+            return rays_no_camera(
+                exp.H, exp.W, exp.noisy_focal, jnp.asarray(gt_E[local_idx]),
+                kps[:, 0], kps[:, 1],
+            )
+
+    val = prd_evaluation(
+        pair_list, cache, rays_eval, K_eval, gt_E,
+        mode=mode, method="NeRF",
+        rays_gt=rays_gt, gt_K=exp.gt_intrinsic, gt_E=gt_E,
+        max_matches=exp.cfg.camera.match_num,
+        threshold=exp.cfg.camera.proj_ray_dist_threshold,
+    )
+    return {f"prd_{mode}": val} if np.isfinite(val) else {}
 
 
 def aligned_eval_extrinsic(exp: NerfExperiment, image_idx: int) -> jnp.ndarray:
@@ -506,8 +586,14 @@ def render_image(exp: NerfExperiment, c2w, key=None, camera_rays: bool = True):
 
 
 def evaluate_test_views(exp: NerfExperiment, max_views: int | None = None) -> dict:
-    """PSNR/SSIM over the test split (ATE-aligned when a camera is learned)."""
-    psnrs, ssims = [], []
+    """PSNR/SSIM[/LPIPS] over the test split (ATE-aligned when a camera is
+    learned). LPIPS is reported when VGG16 weights are available
+    (``metrics/lpips.py``; the reference always reports it via piqa,
+    ``run_nerf.py:789-800``)."""
+    from scnerf_tpu.metrics.lpips import lpips, lpips_available, load_weights
+
+    lpips_w = load_weights() if lpips_available() else None
+    psnrs, ssims, lpipss = [], [], []
     views = exp.i_test[:max_views] if max_views else exp.i_test
     for idx in views:
         if exp.state.params.get("camera") is not None:
@@ -519,5 +605,11 @@ def evaluate_test_views(exp: NerfExperiment, max_views: int | None = None) -> di
         mse = float(img2mse(jnp.asarray(out["rgb"]), jnp.asarray(target)))
         psnrs.append(float(mse2psnr(jnp.asarray(mse))))
         ssims.append(float(ssim(jnp.asarray(out["rgb"]), jnp.asarray(target))))
-    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
-            "n_views": len(psnrs)}
+        if lpips_w is not None:
+            lpipss.append(float(lpips(jnp.asarray(out["rgb"]),
+                                      jnp.asarray(target), lpips_w)))
+    res = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+           "n_views": len(psnrs)}
+    if lpipss:
+        res["lpips"] = float(np.mean(lpipss))
+    return res

@@ -52,6 +52,7 @@ class NerfPPExperiment:
     train_data: Any
     match_cache: PrecomputedMatches | None
     pair_list: np.ndarray | None
+    eval_data: Any = None  # lazily-loaded held-out split ("" = tried, absent)
     rng: np.random.RandomState = field(default_factory=lambda: np.random.RandomState(777))
     logger: MetricLogger | None = None
 
@@ -226,6 +227,12 @@ def run_nerfpp_training(cfg: ExperimentConfig, expdir: str, n_steps: int | None 
         step_now = int(exp.state.step)
         if exp.logger and step_now % cfg.logging.i_print == 0:
             exp.logger.log(step_now, metrics)
+        if exp.logger and step_now % cfg.logging.i_testset == 0:
+            # Held-out render metrics + PRD, the ddp_test_nerf protocol
+            # (ddp_test_nerf.py:121-123,32-116) run periodically in-loop.
+            res = evaluate_nerfpp(exp, max_views=2)
+            res.update(evaluate_nerfpp_prd(exp))
+            exp.logger.log(step_now, {f"test/{k}": v for k, v in res.items()})
         if step_now % cfg.logging.i_weights == 0:
             save_checkpoint(ckpt_dir, exp.state)
         if exp.logger and step_now % cfg.logging.camera_log == 0 and \
@@ -285,19 +292,113 @@ def render_nerfpp_image(exp: NerfPPExperiment, img_idx: int | None = None,
             for k, v in out.items()}
 
 
-def evaluate_nerfpp(exp: NerfPPExperiment, max_views: int | None = 2) -> dict:
-    """PSNR/SSIM over train-split renders (the ddp_test_nerf metric dump;
-    dedicated test splits load the same way with ``load_nerfpp_split``)."""
+def _held_out_data(exp: NerfPPExperiment):
+    """Lazily load the validation (fallback: test) split; None if absent."""
+    if exp.eval_data is None:
+        exp.eval_data = ""
+        for split in ("validation", "test"):
+            try:
+                exp.eval_data = load_nerfpp_split(
+                    exp.cfg.dataset.datadir, split,
+                    normalize_factor=exp.cfg.dataset.normalize_factor,
+                )
+                break
+            except (FileNotFoundError, OSError, ValueError):
+                continue
+    return exp.eval_data or None
+
+
+def evaluate_nerfpp(exp: NerfPPExperiment, max_views: int | None = 2,
+                    data=None) -> dict:
+    """PSNR/SSIM[/LPIPS] over held-out renders — the ``ddp_test_nerf``
+    metric protocol (``ddp_test_nerf.py:121-123``). Renders the held-out
+    split's poses with the dataset K (the reference likewise renders the
+    named split's own cameras); falls back to train views when the scene
+    ships no validation/test split, reported as ``split: "train"``."""
     from scnerf_tpu.losses.photometric import img2mse, mse2psnr
+    from scnerf_tpu.metrics.lpips import lpips, lpips_available, load_weights
     from scnerf_tpu.metrics.ssim import ssim
 
-    train = exp.train_data
-    n = train.poses.shape[0] if max_views is None else min(max_views, train.poses.shape[0])
-    psnrs, ssims = [], []
+    data = data if data is not None else _held_out_data(exp)
+    split = "heldout"
+    if data is None:
+        data, split = exp.train_data, "train"
+    n = data.poses.shape[0] if max_views is None else min(max_views, data.poses.shape[0])
+    lpips_w = load_weights() if lpips_available() else None
+    psnrs, ssims, lpipss = [], [], []
     for i in range(n):
-        out = render_nerfpp_image(exp, img_idx=i)
-        target = train.images[i]
+        if data is exp.train_data:
+            out = render_nerfpp_image(exp, img_idx=i)
+        else:
+            out = render_nerfpp_image(
+                exp, c2w=data.poses[i], K=data.intrinsics[i]
+            )
+        target = data.images[i]
         mse = float(img2mse(jnp.asarray(out["rgb"]), jnp.asarray(target)))
         psnrs.append(float(mse2psnr(jnp.asarray(mse))))
         ssims.append(float(ssim(jnp.asarray(out["rgb"]), jnp.asarray(target))))
-    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)), "n_views": n}
+        if lpips_w is not None:
+            lpipss.append(float(lpips(jnp.asarray(out["rgb"]),
+                                      jnp.asarray(target), lpips_w)))
+    res = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+           "n_views": n, "split": split}
+    if lpipss:
+        res["lpips"] = float(np.mean(lpipss))
+    return res
+
+
+def evaluate_nerfpp_prd(exp: NerfPPExperiment) -> dict:
+    """NeRF++ PRD evaluation (``ddp_test_nerf.py:32-116``): feasible pairs
+    over the cameras, correspondences per pair, train-mode (unclamped,
+    no GT filter — NeRF++ scenes treat COLMAP poses as the camera under
+    evaluation) PRD with ``method="NeRF++"``."""
+    from scnerf_tpu.camera.model import get_extrinsics, get_intrinsic
+    from scnerf_tpu.camera.rays import pixels_to_rays
+    from scnerf_tpu.losses.prd_eval import prd_evaluation
+    from scnerf_tpu.matching.pairs import flatten_pairs, image_pair_candidates
+    from scnerf_tpu.matching.provider import SIFTMatcher, build_match_cache, sift_available
+    from scnerf_tpu.geometry.so3 import K_inverse_3x3
+
+    train = exp.train_data
+    camera = exp.state.params.get("camera")
+    if camera is not None:
+        K = get_intrinsic(camera)
+        E = np.asarray(get_extrinsics(camera))
+    else:
+        K = jnp.asarray(train.intrinsics[0])
+        E = np.asarray(train.poses)
+    if exp.pair_list is not None and len(exp.pair_list) and exp.match_cache is not None:
+        pair_list, cache = exp.pair_list, exp.match_cache
+    else:
+        if not sift_available():
+            return {}
+        pairs = image_pair_candidates(E, exp.cfg.camera.pairing_angle_threshold)
+        pair_list = flatten_pairs(pairs)
+        if len(pair_list) == 0:
+            return {}
+        cache = build_match_cache(train.images, pair_list, SIFTMatcher())
+        exp.pair_list, exp.match_cache = pair_list, cache
+
+    if camera is not None:
+        def rays_eval(kps, idx):
+            return pixels_to_rays(camera, kps[:, 0], kps[:, 1], image_idx=idx)
+    else:
+        Kinv = K_inverse_3x3(jnp.asarray(K))
+
+        def rays_eval(kps, idx):
+            pix = jnp.stack(
+                [kps[:, 0] + 0.5, kps[:, 1] + 0.5, jnp.ones_like(kps[:, 0])], -1
+            )
+            dirs = jnp.matmul(pix, Kinv.T, precision="highest")
+            c2w = jnp.asarray(E[int(idx)])
+            d = jnp.matmul(dirs, c2w[:3, :3].T, precision="highest")
+            o = jnp.broadcast_to(c2w[:3, 3], d.shape)
+            return o, d
+
+    val = prd_evaluation(
+        pair_list, cache, rays_eval, K, E,
+        mode="train", method="NeRF++",
+        max_matches=exp.cfg.camera.match_num,
+        threshold=exp.cfg.camera.proj_ray_dist_threshold,
+    )
+    return {"prd": val} if np.isfinite(val) else {}

