@@ -230,3 +230,156 @@ class TestColmapRunner:
                 colmap_runner.run_colmap("/nonexistent", "/tmp/ws")
         else:
             assert True  # binary present; pipeline covered by integration use
+
+
+class TestColmapDatabase:
+    """Round-trip tests for the COLMAP sqlite writer (VERDICT item 7;
+    behavioral match for colmap_runner/database.py without the vendored
+    code)."""
+
+    def test_write_read_roundtrip(self, tmp_path):
+        from scnerf_tpu.tools import colmap_db as cdb
+
+        rng = np.random.RandomState(0)
+        path = str(tmp_path / "db.db")
+        kps = {i: rng.rand(20 + i, 2).astype(np.float32) * 100 for i in range(3)}
+        with cdb.open_database(path) as conn:
+            ids = []
+            for i in range(3):
+                cid = cdb.add_camera(conn, "PINHOLE", 640, 480,
+                                     [500.0, 500.0, 320.0, 240.0])
+                ids.append(cdb.add_image(conn, f"im{i}.png", cid))
+            for i in range(3):
+                cdb.set_keypoints(conn, ids[i], kps[i])
+                cdb.set_descriptors(conn, ids[i],
+                                    rng.randint(0, 255, (20 + i, 128)))
+            m01 = np.stack([np.arange(10), np.arange(10) + 1], -1)
+            cdb.set_matches(conn, ids[0], ids[1], m01)
+            cdb.set_two_view_geometry(conn, ids[0], ids[1], m01)
+            # inverted insertion order must swap columns symmetrically
+            m21 = np.stack([np.arange(5), np.arange(5) + 2], -1)
+            cdb.set_matches(conn, ids[2], ids[1], m21)
+
+        with cdb.open_database(path) as conn:
+            names = cdb.read_images(conn)
+            assert set(names) == {"im0.png", "im1.png", "im2.png"}
+            cams = cdb.read_cameras(conn)
+            assert len(cams) == 3
+            np.testing.assert_allclose(
+                cams[1]["params"], [500.0, 500.0, 320.0, 240.0])
+            for i in range(3):
+                np.testing.assert_array_equal(
+                    cdb.read_keypoints(conn, ids[i]), kps[i])
+            np.testing.assert_array_equal(
+                cdb.read_matches(conn, ids[0], ids[1]), m01)
+            # read back in either query order, columns follow query order
+            np.testing.assert_array_equal(
+                cdb.read_matches(conn, ids[2], ids[1]), m21)
+            np.testing.assert_array_equal(
+                cdb.read_matches(conn, ids[1], ids[2]), m21[:, ::-1])
+
+    def test_reads_reference_data500_schema(self, tmp_path):
+        """Databases written by the reference's vendored fork (blob column
+        renamed to data_500) stay readable."""
+        import sqlite3
+
+        from scnerf_tpu.tools import colmap_db as cdb
+
+        path = str(tmp_path / "ref.db")
+        conn = sqlite3.connect(path)
+        conn.execute("CREATE TABLE keypoints (image_id INTEGER PRIMARY KEY,"
+                     " rows INTEGER, cols INTEGER, data_500 BLOB)")
+        conn.execute("CREATE TABLE matches (pair_id INTEGER PRIMARY KEY,"
+                     " rows INTEGER, cols INTEGER, data_500 BLOB)")
+        kps = np.arange(8, dtype=np.float32).reshape(4, 2)
+        conn.execute("INSERT INTO keypoints VALUES (?, ?, ?, ?)",
+                     (1, 4, 2, kps.tobytes()))
+        m = np.arange(6, dtype=np.uint32).reshape(3, 2)
+        conn.execute("INSERT INTO matches VALUES (?, ?, ?, ?)",
+                     (cdb.pair_id_from_images(1, 2), 3, 2, m.tobytes()))
+        conn.commit(); conn.close()
+
+        conn = sqlite3.connect(path)
+        np.testing.assert_array_equal(cdb.read_keypoints(conn, 1), kps)
+        np.testing.assert_array_equal(cdb.read_matches(conn, 1, 2), m)
+        conn.close()
+
+    def test_pair_id_convention(self):
+        from scnerf_tpu.tools.colmap_db import (
+            images_from_pair_id, pair_id_from_images,
+        )
+
+        assert pair_id_from_images(7, 3) == pair_id_from_images(3, 7)
+        assert images_from_pair_id(pair_id_from_images(3, 7)) == (3, 7)
+
+    def test_export_from_match_cache(self, tmp_path):
+        from scnerf_tpu.tools import colmap_db as cdb
+
+        rng = np.random.RandomState(2)
+        path = str(tmp_path / "exp.db")
+        images = {f"v{i}.png": {"width": 64, "height": 48,
+                                "params": [50.0, 50.0, 32.0, 24.0]}
+                  for i in range(2)}
+        keypoints = {f"v{i}.png": rng.rand(12, 2).astype(np.float32) for i in range(2)}
+        matches = {("v0.png", "v1.png"): np.stack([np.arange(6), np.arange(6)], -1)}
+        ids = cdb.write_database_from_matches(path, images, keypoints, matches)
+        with cdb.open_database(path) as conn:
+            assert cdb.read_images(conn) == ids
+            np.testing.assert_array_equal(
+                cdb.read_matches(conn, ids["v0.png"], ids["v1.png"]),
+                matches[("v0.png", "v1.png")])
+
+
+class TestPosedColmapRunner:
+    def test_rotation_to_quaternion_roundtrip(self):
+        from scnerf_tpu.tools.colmap_runner import rotation_to_quaternion
+
+        rng = np.random.RandomState(4)
+        for _ in range(20):
+            # random rotation via QR
+            q, _ = np.linalg.qr(rng.randn(3, 3))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            w, x, y, z = rotation_to_quaternion(q)
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ])
+            np.testing.assert_allclose(R, q, atol=1e-9)
+
+    def test_cam_dict_to_pinhole_layout(self):
+        from scnerf_tpu.tools.colmap_runner import cam_dict_to_pinhole
+
+        K = np.eye(4); K[0, 0], K[1, 1] = 500.0, 510.0
+        K[0, 2], K[1, 2] = 320.0, 240.0
+        W2C = np.eye(4); W2C[:3, 3] = [1.0, 2.0, 3.0]
+        cam_dict = {"a.png": {"K": K.reshape(-1).tolist(),
+                              "W2C": W2C.reshape(-1).tolist(),
+                              "img_size": [640, 480]}}
+        p = cam_dict_to_pinhole(cam_dict)["a.png"]
+        assert p[:6] == [640, 480, 500.0, 510.0, 320.0, 240.0]
+        np.testing.assert_allclose(p[6:10], [1, 0, 0, 0], atol=1e-12)  # identity R
+        assert p[10:] == [1.0, 2.0, 3.0]
+
+    def test_write_posed_init_model(self, tmp_path):
+        from scnerf_tpu.tools.colmap_runner import write_posed_init_model
+
+        pinhole = {"a.png": [64, 48, 50.0, 50.0, 32.0, 24.0,
+                             1.0, 0.0, 0.0, 0.0, 0.1, 0.2, 0.3]}
+        write_posed_init_model(pinhole, {"a.png": 5}, str(tmp_path))
+        cams = open(tmp_path / "cameras.txt").read()
+        imgs = open(tmp_path / "images.txt").read()
+        assert cams.startswith("5 PINHOLE 64 48 50.0 50.0 32.0 24.0")
+        assert imgs.split()[0] == "5" and imgs.split()[-1] == "a.png"
+        assert (tmp_path / "points3D.txt").exists()
+
+    def test_posed_runner_gated(self, tmp_path):
+        import shutil
+
+        from scnerf_tpu.tools.colmap_runner import colmap_available, run_colmap_posed
+
+        if colmap_available():
+            pytest.skip("colmap installed; gating test targets its absence")
+        with pytest.raises(RuntimeError, match="colmap binary"):
+            run_colmap_posed(str(tmp_path), {}, str(tmp_path / "out"))
