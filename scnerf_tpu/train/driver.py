@@ -84,6 +84,7 @@ class NerfExperiment:
     # Lazy eval-split correspondence cache (built on first val/test PRD eval).
     eval_match_cache: PrecomputedMatches | None = None
     eval_pair_list: np.ndarray | None = None
+    render_poses: np.ndarray | None = None  # (R, 4, 4) spiral/spherical path
     ray_pool: RayPool | None = None
     device_step: Any | None = None  # (state, key) step with on-device sampling
     rng: np.random.RandomState = field(default_factory=lambda: np.random.RandomState(777))
@@ -111,8 +112,10 @@ def _load_dataset(cfg: ExperimentConfig, rng):
             near, far = float(d.bds.min() * 0.9), float(d.bds.max() * 1.0)
         else:
             near, far = 0.0, 1.0
+        rp = np.broadcast_to(np.eye(4), (len(d.render_poses), 4, 4)).copy()
+        rp[:, :3, :4] = d.render_poses[:, :3, :4]
         return (images, d.noisy_poses, d.gt_poses, d.gt_intrinsic, d.noisy_focal,
-                i_train, i_test, near, far, d.H, d.W)
+                i_train, i_test, near, far, d.H, d.W, rp.astype(np.float32))
     elif ds.dataset_type == "blender":
         from scnerf_tpu.data.blender import load_blender
 
@@ -123,15 +126,21 @@ def _load_dataset(cfg: ExperimentConfig, rng):
         else:
             images = d.images[..., :3]
         i_train, i_val, i_test = d.i_split
+        from scnerf_tpu.data.blender import pose_spherical
+
+        rp = np.stack(
+            [np.array(pose_spherical(a, -30.0, 4.0))
+             for a in np.linspace(-180, 180, 41)[:-1]]
+        ).astype(np.float32)
         return (images.astype(np.float32), d.noisy_poses, d.gt_poses, d.gt_intrinsic,
-                d.noisy_focal, i_train, i_test, 2.0, 6.0, d.H, d.W)
+                d.noisy_focal, i_train, i_test, 2.0, 6.0, d.H, d.W, rp)
     raise ValueError(f"unknown dataset_type {ds.dataset_type} for NeRF pipeline")
 
 
 def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfExperiment:
     rng = np.random.RandomState(cfg.logging.seed)
     (images, noisy_poses, gt_poses, gt_K, noisy_focal,
-     i_train, i_test, near, far, H, W) = _load_dataset(cfg, rng)
+     i_train, i_test, near, far, H, W, render_poses) = _load_dataset(cfg, rng)
 
     use_ndc = cfg.dataset.dataset_type == "llff" and not cfg.dataset.no_ndc
     model_cfg = NeRFConfig(
@@ -279,6 +288,7 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         noisy_focal=noisy_focal, near=near, far=far, H=H, W=W,
         match_cache=match_cache, pair_list=pair_list, ray_pool=ray_pool,
         device_step=device_step, rng=rng, logger=logger,
+        render_poses=render_poses,
     )
 
 
@@ -421,6 +431,12 @@ def train_loop(
                     )
                 except Exception:
                     pass
+            if (
+                cfg.logging.i_video > 0
+                and step_now % cfg.logging.i_video == 0
+                and exp.render_poses is not None
+            ):
+                render_training_video(exp, step_now)
             if step_now % cfg.logging.camera_log == 0 and exp.state.params.get("camera") is not None:
                 from scnerf_tpu.camera.model import camera_log_dict
 
@@ -431,6 +447,36 @@ def train_loop(
                     ),
                 )
     return exp.state, metrics
+
+
+def render_training_video(exp: NerfExperiment, step: int,
+                          out_dir: str | None = None,
+                          max_frames: int | None = None) -> str | None:
+    """The ``i_video`` training hook (``run_nerf.py:252-283``): render the
+    dataset's spiral/spherical path with the CURRENT model + camera and
+    write ``video_{step}.mp4`` plus a normalised-disparity companion."""
+    if exp.render_poses is None:
+        return None
+    out_dir = out_dir or (exp.logger.expdir if exp.logger else None)
+    if out_dir is None:
+        return None
+    from scnerf_tpu.tools.video import array_to_video
+
+    frames, disps = [], []
+    for c2w in exp.render_poses[:max_frames]:
+        out = render_image(exp, np.asarray(c2w))
+        frames.append(out["rgb"])
+        if "disp" in out:
+            disps.append(out["disp"])
+    path = os.path.join(out_dir, f"video_{step:08d}.mp4")
+    array_to_video(np.stack(frames), path)
+    if disps:
+        d = np.stack(disps)
+        array_to_video(
+            (d / max(float(np.max(d)), 1e-10))[..., None].repeat(3, -1),
+            os.path.join(out_dir, f"video_{step:08d}_disp.mp4"),
+        )
+    return path
 
 
 def evaluate_prd(exp: NerfExperiment) -> dict:

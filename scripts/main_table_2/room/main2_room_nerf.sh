@@ -1,0 +1,8 @@
+#!/bin/bash
+# Paper-table launcher (reference scripts/main_table_2). TPU trainer.
+
+python -m scnerf_tpu.cli.train \
+    --config configs/llff/room_ours.txt \
+    --expname "$(basename "${0%.*}")" \
+    --camera_model none --ray_loss_type none \
+    --N_iters 800001 --lrate_decay 400 "$@"

@@ -492,3 +492,76 @@ class TestNerfPPPrdEvaluation:
         res = evaluate_nerfpp_prd(exp)
         assert "prd" in res
         assert res["prd"] < 2.0, res  # GT-consistent matches -> small PRD
+
+
+class TestOwnConfigPresets:
+    def test_all_repo_presets_parse(self):
+        """Every shipped preset (LLFF/Blender/T&T/fisheye/fisheye_high/lf)
+        parses with zero unknown-flag warnings."""
+        import glob
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        paths = sorted(glob.glob(os.path.join(repo, "configs", "*", "*.txt")))
+        assert len(paths) >= 30, paths
+        for path in paths:
+            warnings = []
+            cfg = load_experiment(path, warn=lambda m: warnings.append(m))
+            assert cfg.sampling.N_rand > 0, path
+            assert not warnings, (path, warnings)
+
+    def test_launcher_scripts_reference_real_configs(self):
+        """Every main_table launcher points at a config file that exists."""
+        import glob
+        import re
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        scripts = glob.glob(os.path.join(repo, "scripts", "main_table_*", "**", "*.sh"),
+                            recursive=True)
+        assert len(scripts) == 38, len(scripts)  # 16+16+4+2
+        for s in scripts:
+            body = open(s).read()
+            m = re.search(r"--config (\S+)", body)
+            assert m, s
+            assert os.path.exists(os.path.join(repo, m.group(1))), (s, m.group(1))
+
+
+class TestIVideoHook:
+    def test_training_video_written(self, tmp_path):
+        """The i_video hook renders the spherical path mid-training
+        (run_nerf.py:252-283) and writes an mp4 (or npz fallback)."""
+        from tests.test_data import write_png
+        from scnerf_tpu.data.blender import pose_spherical
+        from scnerf_tpu.train.driver import build_experiment, train_loop
+
+        root = tmp_path / "ds"
+        H = W = 16
+        for split, n in [("train", 2), ("val", 1), ("test", 1)]:
+            os.makedirs(root / split, exist_ok=True)
+            frames = []
+            for i in range(n):
+                pose = np.array(pose_spherical(i * 30.0, -30.0, 4.0))
+                img = np.zeros((H, W, 4)); img[..., 3] = 1
+                write_png(root / split / f"r_{i}.png", img)
+                frames.append({"file_path": f"./{split}/r_{i}",
+                               "transform_matrix": pose.tolist()})
+            (root / f"transforms_{split}.json").write_text(
+                json.dumps({"camera_angle_x": 0.69, "frames": frames}))
+        flags = {
+            "dataset_type": "blender", "datadir": str(root), "N_rand": 16,
+            "N_samples": 4, "N_importance": 0, "netdepth": 2, "netwidth": 8,
+            "multires": 2, "multires_views": 2, "camera_model": "none",
+            "i_video": 4, "i_testset": 100000, "i_img": 100000,
+            "expname": "vid", "basedir": str(tmp_path / "logs"),
+        }
+        from scnerf_tpu.core.config import experiment_from_flags
+
+        cfg = experiment_from_flags(flags, warn=lambda *a: None)
+        expdir = str(tmp_path / "logs" / "vid")
+        os.makedirs(expdir, exist_ok=True)
+        exp = build_experiment(cfg, expdir)
+        assert exp.render_poses is not None and exp.render_poses.shape[1:] == (4, 4)
+        # cap path length for test speed
+        exp.render_poses = exp.render_poses[:3]
+        train_loop(exp, n_steps=4, eval_hooks=True)
+        vids = [f for f in os.listdir(expdir) if f.startswith("video_")]
+        assert any("00000004" in v for v in vids), vids
