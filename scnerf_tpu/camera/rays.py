@@ -146,3 +146,24 @@ def rays_no_camera(
         rays_d = jnp.matmul(dirs, c2w[:3, :3].T, precision="highest")
         rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
     return rays_o, rays_d
+
+
+def rays_opencv(K: jnp.ndarray, c2w: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
+                pixel_offset: float = 0.5):
+    """Fixed-camera OPENCV rays from a 4x4 (or 3x3-embedded) intrinsic.
+
+    The NeRF++ no-camera-model ray path (``nerf_sample_ray_split.py:
+    get_rays_single_image``): ``dirs = K^-1 [u+off, v+off, 1]`` rotated into
+    the world frame, origins at the camera centre. Used by the nerfpp
+    drivers and samplers when no learnable camera is attached.
+    """
+    from scnerf_tpu.geometry.so3 import K_inverse_3x3
+
+    px = jnp.asarray(px, jnp.float32)
+    py = jnp.asarray(py, jnp.float32)
+    pix = jnp.stack([px + pixel_offset, py + pixel_offset, jnp.ones_like(px)], -1)
+    dirs = jnp.matmul(pix, K_inverse_3x3(jnp.asarray(K)).T, precision="highest")
+    c2w = jnp.asarray(c2w)
+    rays_d = jnp.matmul(dirs, c2w[:3, :3].T, precision="highest")
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return rays_o, rays_d

@@ -107,6 +107,46 @@ def mlpnet_apply_chunked(params, cfg: NerfPPConfig, pts_enc, views_enc, chunk: i
     return rgb, sigma
 
 
+def query_mlpnet_chunked(params, cfg: NerfPPConfig, pts, views_enc,
+                         chunk: int, input_dim: int):
+    """PE + MLP with the positional encoding INSIDE the rematerialised
+    chunk body.
+
+    :func:`mlpnet_apply_chunked` keeps the encodings as scan inputs, so the
+    full ``(N, S, 63|87)`` f32 encoding tensors round-trip HBM between the
+    forward and backward passes. Here only the raw ``(N, S, 3|4)`` points
+    are carried; the encoding (and the per-sample viewdir broadcast) is
+    recomputed in the checkpointed body — ~20x less activation traffic for
+    a few extra VPU sin/cos per backward chunk.
+
+    Args:
+      pts: ``(N, S, input_dim)`` raw sample points.
+      views_enc: ``(N, Cv)`` encoded viewdirs (broadcast per chunk inside).
+    """
+    S = pts.shape[-2]
+    enc_cfg = cfg.pos_encoding(input_dim)
+
+    def apply_raw(p, pts_c, ve):
+        pe = positional_encoding(pts_c, enc_cfg)
+        ve_b = jnp.broadcast_to(ve[..., None, :], pe.shape[:-1] + (ve.shape[-1],))
+        return mlpnet_apply(p, cfg, pe, ve_b)
+
+    if chunk <= 0 or S % chunk != 0 or S == chunk:
+        return apply_raw(params, pts, views_enc)
+    n_chunks = S // chunk
+    lead = pts.shape[:-2]
+    pts_c = jnp.moveaxis(pts.reshape(*lead, n_chunks, chunk, pts.shape[-1]), -3, 0)
+    apply_fn = jax.checkpoint(apply_raw)
+
+    def body(_, xs):
+        return None, apply_fn(params, xs, views_enc)
+
+    _, (rgb, sigma) = jax.lax.scan(body, None, pts_c)
+    rgb = jnp.moveaxis(rgb, 0, -3).reshape(*lead, S, 3)
+    sigma = jnp.moveaxis(sigma, 0, -2).reshape(*lead, S)
+    return rgb, sigma
+
+
 def init_nerfpp_net(key, cfg: NerfPPConfig, n_images: int = 0, autoexpo: bool = False):
     k_fg, k_bg = jax.random.split(key)
     params = {
@@ -147,9 +187,9 @@ def nerfpp_forward(
 
     # ---- foreground
     fg_pts = ray_o[..., None, :] + fg_z_vals[..., None] * ray_d[..., None, :]
-    fg_enc = positional_encoding(fg_pts, cfg.pos_encoding(3))
-    fg_views = jnp.broadcast_to(views_enc[..., None, :], fg_enc.shape[:-1] + (views_enc.shape[-1],))
-    fg_rgb, fg_sigma = mlpnet_apply_chunked(params["fg"], cfg, fg_enc, fg_views, remat_chunk)
+    fg_rgb, fg_sigma = query_mlpnet_chunked(
+        params["fg"], cfg, fg_pts, views_enc, remat_chunk, input_dim=3
+    )
 
     fg_dists = fg_z_vals[..., 1:] - fg_z_vals[..., :-1]
     fg_dists = ray_d_norm * jnp.concatenate(
@@ -169,15 +209,17 @@ def nerfpp_forward(
         jnp.broadcast_to(ray_d[..., None, :], bg_z_vals.shape + (3,)),
         bg_z_vals,
     )
-    bg_enc = positional_encoding(bg_pts, cfg.pos_encoding(4))
-    bg_enc = jnp.flip(bg_enc, axis=-2)
-    bg_views = jnp.broadcast_to(views_enc[..., None, :], bg_enc.shape[:-1] + (views_enc.shape[-1],))
+    # Flip raw pts before encoding (PE is per-sample, so flip-then-encode
+    # == encode-then-flip) to keep the encoding inside the remat body.
+    bg_pts = jnp.flip(bg_pts, axis=-2)
     bg_z_flip = jnp.flip(bg_z_vals, axis=-1)  # 1 -> 0
     bg_dists = bg_z_flip[..., :-1] - bg_z_flip[..., 1:]
     bg_dists = jnp.concatenate(
         [bg_dists, jnp.full_like(bg_dists[..., :1], HUGE_NUMBER)], axis=-1
     )
-    bg_rgb, bg_sigma = mlpnet_apply_chunked(params["bg"], cfg, bg_enc, bg_views, remat_chunk)
+    bg_rgb, bg_sigma = query_mlpnet_chunked(
+        params["bg"], cfg, bg_pts, views_enc, remat_chunk, input_dim=4
+    )
     bg_alpha = 1.0 - jnp.exp(-bg_sigma * bg_dists)
     T = jnp.cumprod(1.0 - bg_alpha + TINY_NUMBER, axis=-1)[..., :-1]
     T = jnp.concatenate([jnp.ones_like(T[..., :1]), T], axis=-1)

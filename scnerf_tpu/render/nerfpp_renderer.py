@@ -25,7 +25,16 @@ class NerfPPRenderConfig:
     perturb: bool = static_field(default=True)
     chunk: int = static_field(default=4096)
     # Sample-chunked remat of MLP queries (see fields/nerf.py rationale).
-    remat_chunk: int = static_field(default=16)
+    # 8 profiled fastest on v5e at N_rand=2048 for both (64,64) and
+    # (64,128) cascades (docs/perf_nerfpp.md).
+    remat_chunk: int = static_field(default=8)
+    # Inverse-CDF implementation. Unlike the NeRF pipeline (which detaches
+    # resampled depths, render.py:274), the reference's NeRF++ lets
+    # gradients flow through the resample BINS into the camera
+    # (ddp_train_nerf.py:459-473 detaches only the weights), so the
+    # non-differentiable fused Pallas kernel cannot be the default here.
+    # "pallas_stopgrad" opts into it, trading that bin gradient for speed.
+    pdf_impl: str = static_field(default="xla")
 
 
 def render_rays_nerfpp(
@@ -59,14 +68,24 @@ def render_rays_nerfpp(
                 fg_depth = perturb_z_vals(k_fg, fg_depth)
                 bg_depth = perturb_z_vals(k_bg, bg_depth)
         else:
+            if render_cfg.pdf_impl == "pallas_stopgrad" and jax.default_backend() == "tpu":
+                from scnerf_tpu.kernels.pdf_pallas import sample_pdf_pallas
+
+                def _pdf(k, bins, w, n, det):
+                    return sample_pdf_pallas(
+                        k, jax.lax.stop_gradient(bins), w, n, det=det
+                    )
+            else:
+                def _pdf(k, bins, w, n, det):
+                    return sample_pdf(k, bins, w, n, det=det)
             fg_w = jax.lax.stop_gradient(ret["fg_weights"])[..., 1:-1]
             fg_mid = 0.5 * (fg_depth[..., 1:] + fg_depth[..., :-1])
-            fg_new = sample_pdf(k_fg, fg_mid, fg_w, n_samp, det=not render_cfg.perturb)
+            fg_new = _pdf(k_fg, fg_mid, fg_w, n_samp, not render_cfg.perturb)
             fg_depth = jnp.sort(jnp.concatenate([fg_depth, fg_new], axis=-1), axis=-1)
 
             bg_w = jax.lax.stop_gradient(ret["bg_weights"])[..., 1:-1]
             bg_mid = 0.5 * (bg_depth[..., 1:] + bg_depth[..., :-1])
-            bg_new = sample_pdf(k_bg, bg_mid, bg_w, n_samp, det=not render_cfg.perturb)
+            bg_new = _pdf(k_bg, bg_mid, bg_w, n_samp, not render_cfg.perturb)
             bg_depth = jnp.sort(jnp.concatenate([bg_depth, bg_new], axis=-1), axis=-1)
 
         ret = nerfpp_forward(

@@ -89,3 +89,55 @@ def make_device_sampling_step(base_step, images, n_rand: int,
         return base_step(state, batch, k_step)
 
     return step
+
+
+def make_nerfpp_device_sampling_step(base_step, images, n_rand: int,
+                                     masks=None, min_depths=None,
+                                     default_min_depth: float = 1e-4,
+                                     intrinsics=None, poses=None):
+    """NeRF++ variant of :func:`make_device_sampling_step`: scalar per-step
+    image choice (autoexpo indexes a per-image table), device gathers for
+    target RGB and the optional mask / per-pixel min-depth maps
+    (``nerf_sample_ray_split.py`` carries the same three).
+
+    With ``intrinsics``/``poses`` given ((N, 4, 4) each), rays are built on
+    device from the dataset camera (the no-camera-model path); otherwise the
+    batch carries ``px``/``py`` for the learnable camera inside
+    ``base_step``.
+    """
+    images = jnp.asarray(images)
+    masks = jnp.asarray(masks) if masks is not None else None
+    min_depths = jnp.asarray(min_depths) if min_depths is not None else None
+    fixed_cam = intrinsics is not None and poses is not None
+    if fixed_cam:
+        intrinsics = jnp.asarray(intrinsics)
+        poses = jnp.asarray(poses)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, key):
+        N, H, W = images.shape[:3]
+        k_img, k_x, k_y, k_step = jax.random.split(key, 4)
+        img = jax.random.randint(k_img, (), 0, N)
+        px = jax.random.randint(k_x, (n_rand,), 0, W)
+        py = jax.random.randint(k_y, (n_rand,), 0, H)
+        batch = {
+            "px": px.astype(jnp.float32),
+            "py": py.astype(jnp.float32),
+            "img_idx": img,
+            "target": images[img, py, px],
+            "min_depth": (
+                min_depths[img, py, px] if min_depths is not None
+                else jnp.full((n_rand,), default_min_depth)
+            ),
+        }
+        if fixed_cam:
+            from scnerf_tpu.camera.rays import rays_opencv
+
+            batch["rays_o"], batch["rays_d"] = rays_opencv(
+                intrinsics[img], poses[img], batch["px"], batch["py"]
+            )
+        if masks is not None:
+            batch["mask"] = masks[img, py, px].astype(jnp.float32)
+        return base_step(state, batch, k_step)
+
+    return step

@@ -53,6 +53,7 @@ class NerfPPExperiment:
     match_cache: PrecomputedMatches | None
     pair_list: np.ndarray | None
     eval_data: Any = None  # lazily-loaded held-out split ("" = tried, absent)
+    device_step: Any = None  # (state, key) step with on-device sampling
     rng: np.random.RandomState = field(default_factory=lambda: np.random.RandomState(777))
     logger: MetricLogger | None = None
 
@@ -163,6 +164,18 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
         else:
             match_cache = PrecomputedMatches(cache_path)
 
+    device_step = None
+    if cfg.sampling.device_sampling and train.images is not None:
+        from scnerf_tpu.train.device_sampling import make_nerfpp_device_sampling_step
+
+        fixed = {} if cfg.camera.use_camera else dict(
+            intrinsics=train.intrinsics, poses=train.poses
+        )
+        device_step = make_nerfpp_device_sampling_step(
+            step_fn, train.images, cfg.sampling.N_rand,
+            masks=train.masks, min_depths=train.min_depths, **fixed,
+        )
+
     logger = MetricLogger(expdir, use_wandb=cfg.logging.use_wandb) if expdir else None
     if logger:
         logger.snapshot_config(cfg.to_json())
@@ -170,7 +183,7 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
         cfg=cfg, state=state, step_fn=step_fn, step_prd_fn=step_prd_fn,
         model_cfg=model_cfg, render_cfg=render_cfg, curriculum=curriculum,
         train_data=train, match_cache=match_cache, pair_list=pair_list,
-        rng=rng, logger=logger,
+        rng=rng, logger=logger, device_step=device_step,
     )
 
 
@@ -189,6 +202,15 @@ def nerfpp_sample_batch(exp: NerfPPExperiment) -> dict:
         "target": jnp.asarray(target, jnp.float32),
         "min_depth": jnp.full((n_rand,), 1e-4),
     }
+    if not cfg.camera.use_camera:
+        # No learnable camera: rays come from the dataset K/pose (the
+        # reference's get_rays_single_image path).
+        from scnerf_tpu.camera.rays import rays_opencv
+
+        batch["rays_o"], batch["rays_d"] = rays_opencv(
+            jnp.asarray(train.intrinsics[img_i]), jnp.asarray(train.poses[img_i]),
+            batch["px"], batch["py"],
+        )
     if train.masks is not None:
         batch["mask"] = jnp.asarray(train.masks[img_i, pyi, pxi], jnp.float32)
     if train.min_depths is not None:
@@ -203,14 +225,19 @@ def run_nerfpp_training(cfg: ExperimentConfig, expdir: str, n_steps: int | None 
     ckpt_dir = os.path.join(expdir, "ckpts")
     metrics = {}
     for it in range(int(exp.state.step), n_steps):
-        batch = nerfpp_sample_batch(exp)
         use_prd = (
             exp.step_prd_fn is not None
             and it >= exp.curriculum.add_prd
             and it % exp.curriculum.i_ray_dist_loss == 0
             and exp.pair_list is not None and len(exp.pair_list) > 0
         )
-        if use_prd:
+        if not use_prd and exp.device_step is not None:
+            exp.state, metrics = exp.device_step(
+                exp.state, jax.random.fold_in(key, it)
+            )
+            batch = None
+        elif use_prd:
+            batch = nerfpp_sample_batch(exp)
             i, j = exp.pair_list[exp.rng.randint(0, len(exp.pair_list))]
             m = exp.match_cache.get(int(i), int(j)) if exp.match_cache else None
             if m is not None and m.kps0.shape[0] > 0:
@@ -223,6 +250,7 @@ def run_nerfpp_training(cfg: ExperimentConfig, expdir: str, n_steps: int | None 
             else:
                 exp.state, metrics = exp.step_fn(exp.state, batch, jax.random.fold_in(key, it))
         else:
+            batch = nerfpp_sample_batch(exp)
             exp.state, metrics = exp.step_fn(exp.state, batch, jax.random.fold_in(key, it))
         step_now = int(exp.state.step)
         if exp.logger and step_now % cfg.logging.i_print == 0:
@@ -274,15 +302,13 @@ def render_nerfpp_image(exp: NerfPPExperiment, img_idx: int | None = None,
         L = resolution_level
         Hr, Wr = train.H // L, train.W // L
         px, py = full_image_pixels(Hr, Wr)
+        from scnerf_tpu.camera.rays import rays_opencv
+
         Kmat = np.array(K if K is not None else train.intrinsics[img_idx or 0])
         Kmat = Kmat.copy()
         Kmat[:2, :3] /= L
-        Kj = jnp.asarray(Kmat)
         c2w = jnp.asarray(c2w if c2w is not None else train.poses[img_idx or 0])
-        pix = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
-        dirs = jnp.matmul(pix, K_inverse_3x3(Kj).T, precision="highest")
-        rays_d = jnp.matmul(dirs, c2w[:3, :3].T, precision="highest")
-        rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+        rays_o, rays_d = rays_opencv(jnp.asarray(Kmat), c2w, px, py)
     out = render_chunked_nerfpp(
         exp.state.params["levels"], exp.model_cfg,
         exp.render_cfg.replace(perturb=False),

@@ -565,3 +565,43 @@ class TestIVideoHook:
         train_loop(exp, n_steps=4, eval_hooks=True)
         vids = [f for f in os.listdir(expdir) if f.startswith("video_")]
         assert any("00000004" in v for v in vids), vids
+
+
+class TestNerfPPDeviceSampling:
+    def test_nerfpp_driver_device_sampling(self, tmp_path):
+        """run_nerfpp_training with on-device batch sampling (VERDICT item 6:
+        device-resident sampling wired for the nerfpp driver)."""
+        from tests.test_data import write_png
+
+        rng = np.random.RandomState(3)
+        root = tmp_path / "tat"
+        H = W = 16
+        for sub in ["rgb", "intrinsics", "pose"]:
+            os.makedirs(root / "train" / sub, exist_ok=True)
+        for i in range(3):
+            write_png(root / "train" / "rgb" / f"{i:05d}.png", rng.rand(H, W, 3))
+            K = np.eye(4); K[0, 0] = K[1, 1] = 14.0
+            K[0, 2], K[1, 2] = W / 2, H / 2
+            (root / "train" / "intrinsics" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, K.reshape(-1))))
+            pose = np.eye(4); pose[:3, 3] = [0.05 * i, 0.0, -0.3]
+            (root / "train" / "pose" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, pose.reshape(-1))))
+        flags = {
+            "dataset_type": "nerfpp", "datadir": str(root), "N_rand": 32,
+            "cascade_samples": "8,8", "cascade_level": 2, "netdepth": 3,
+            "netwidth": 32, "max_freq_log2": 4, "max_freq_log2_viewdirs": 2,
+            "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
+            "device_sampling": True,
+            "i_weights": 1000, "i_print": 2,
+            "expname": "ds", "basedir": str(tmp_path / "logs"),
+        }
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.nerfpp_driver import build_nerfpp_experiment, run_nerfpp_training
+
+        cfg = experiment_from_flags(flags, warn=lambda *a: None)
+        expdir = str(tmp_path / "logs" / "ds")
+        os.makedirs(expdir, exist_ok=True)
+        state, metrics = run_nerfpp_training(cfg, expdir, n_steps=6)
+        assert int(state.step) == 6
+        assert np.isfinite(float(metrics["loss"]))
