@@ -14,6 +14,7 @@ V100 per-chip train throughput is ~10k rays/s. BASELINE.json's target is
 
 Prints ONE json line.
 """
+import os
 import json
 import time
 
@@ -102,6 +103,15 @@ def main():
     }
     if nerfpp_rays is not None:
         extras["nerfpp_train_rays_per_sec"] = round(nerfpp_rays, 1)
+    # Honest same-host reference measurement (scripts/measure_ref_baseline.py
+    # runs the actual torch reference here — cpu in this image, so it is a
+    # footnote, not the V100 headline denominator).
+    ref_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "REF_BASELINE.json")
+    if os.path.exists(ref_json):
+        ref = json.load(open(ref_json))
+        extras["ref_measured_rays_per_sec"] = round(ref["rays_per_sec"], 1)
+        extras["ref_measured_backend"] = f"torch-{ref['host_backend']}"
     print(
         json.dumps(
             {

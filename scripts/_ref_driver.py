@@ -115,21 +115,27 @@ def main():
     sys.path.insert(0, "/root/reference/NeRF")
     sys.argv = ["run_nerf.py"] + list(spec["flags"])
 
+    import time
+
     import run_nerf
 
-    mses = []
+    mses, stamps = [], []
     orig_img2mse = run_nerf.img2mse
 
     def recording_img2mse(x, y):
         v = orig_img2mse(x, y)
         mses.append(float(v.detach()))
+        stamps.append(time.perf_counter())
         return v
 
     run_nerf.img2mse = recording_img2mse
     run_nerf.train()
 
     n = int(spec["n_steps"])
-    out = {"mse": np.asarray(mses[: 2 * n], np.float64)}
+    out = {
+        "mse": np.asarray(mses[: 2 * n], np.float64),
+        "stamps": np.asarray(stamps[: 2 * n], np.float64),
+    }
 
     tars = sorted(glob.glob(os.path.join(spec["workdir"], "*", "*.tar")))
     if tars:
