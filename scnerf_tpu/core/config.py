@@ -106,10 +106,14 @@ class SamplingConfig:
 class CameraFlags:
     camera_model: str = "none"  # none | pinhole_rot_noise_10k_rayo_rayd[_dist]
     grid_size: int = 10
-    ray_o_noise_scale: float = 1e-3
-    ray_d_noise_scale: float = 1e-3
+    # The two reference pipelines ship DIFFERENT defaults for the noise
+    # scales (NeRF config_argparse.py: ray 1e-4, extrinsics 1.0; NeRF++
+    # config_argparser.py: ray 1e-3, extrinsics 1e-2). None = "user did not
+    # set it"; the drivers resolve per pipeline (resolved_noise_scales).
+    ray_o_noise_scale: float | None = None
+    ray_d_noise_scale: float | None = None
     intrinsics_noise_scale: float = 1.0
-    extrinsics_noise_scale: float = 1e-2
+    extrinsics_noise_scale: float | None = None
     distortion_noise_scale: float = 1e-2
     multiplicative_noise: bool = False
     # curriculum
@@ -263,3 +267,22 @@ def load_experiment(config_path: str | None = None, overrides: dict | None = Non
     if overrides:
         flags.update(overrides)
     return experiment_from_flags(flags, warn=warn)
+
+
+def resolved_noise_scales(camera: "CameraFlags", pipeline: str) -> dict:
+    """Per-pipeline camera noise-scale defaults (None = not user-set).
+
+    The reference's two trainers default differently: NeRF
+    (``config_argparse.py:302-304``, ``:267-278``) uses ray 1e-4 /
+    extrinsics 1.0; NeRF++ (``config_argparser.py:68-80``) uses ray 1e-3 /
+    extrinsics 1e-2.
+    """
+    nerf = pipeline == "nerf"
+    return {
+        "ray_o_noise_scale": camera.ray_o_noise_scale
+        if camera.ray_o_noise_scale is not None else (1e-4 if nerf else 1e-3),
+        "ray_d_noise_scale": camera.ray_d_noise_scale
+        if camera.ray_d_noise_scale is not None else (1e-4 if nerf else 1e-3),
+        "extrinsics_noise_scale": camera.extrinsics_noise_scale
+        if camera.extrinsics_noise_scale is not None else (1.0 if nerf else 1e-2),
+    }

@@ -188,15 +188,15 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         else:
             K_init = gt_K.copy()
             K_init[0, 0] = K_init[1, 1] = noisy_focal
+        from scnerf_tpu.core.config import resolved_noise_scales
+
         cam_cfg = CameraConfig(
             H=H, W=W, grid_size=cfg.camera.grid_size, convention=OPENGL,
             use_distortion=cfg.camera.use_distortion,
             multiplicative_noise=cfg.camera.multiplicative_noise,
-            ray_o_noise_scale=cfg.camera.ray_o_noise_scale,
-            ray_d_noise_scale=cfg.camera.ray_d_noise_scale,
             intrinsics_noise_scale=cfg.camera.intrinsics_noise_scale,
-            extrinsics_noise_scale=cfg.camera.extrinsics_noise_scale,
             distortion_noise_scale=cfg.camera.distortion_noise_scale,
+            **resolved_noise_scales(cfg.camera, "nerf"),
         )
         camera = init_camera(K_init, noisy_poses[i_train], cam_cfg)
         params["camera"] = camera

@@ -101,16 +101,16 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
         ],
     }
     if cfg.camera.use_camera:
+        from scnerf_tpu.core.config import resolved_noise_scales
+
         cam_cfg = CameraConfig(
             H=train.H, W=train.W, grid_size=cfg.camera.grid_size,
             convention=OPENCV, pixel_offset=0.5,
             use_distortion=cfg.camera.use_distortion,
             multiplicative_noise=cfg.camera.multiplicative_noise,
-            ray_o_noise_scale=cfg.camera.ray_o_noise_scale,
-            ray_d_noise_scale=cfg.camera.ray_d_noise_scale,
             intrinsics_noise_scale=cfg.camera.intrinsics_noise_scale,
-            extrinsics_noise_scale=cfg.camera.extrinsics_noise_scale,
             distortion_noise_scale=cfg.camera.distortion_noise_scale,
+            **resolved_noise_scales(cfg.camera, "nerfpp"),
         )
         k = train.k[0] if (train.k is not None and cfg.camera.use_distortion) else None
         params["camera"] = init_camera(train.intrinsics[0], train.poses, cam_cfg, k=k)

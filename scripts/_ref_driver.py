@@ -129,9 +129,24 @@ def main():
         return v
 
     run_nerf.img2mse = recording_img2mse
-    run_nerf.train()
-
     n = int(spec["n_steps"])
+    try:
+        run_nerf.train()
+    except Exception as e:
+        # The reference's END-OF-TRAINING logging block crashes on some
+        # configurations (e.g. camera-model runs hit render.py:44's
+        # np.where(list == int) with the hardcoded `i_train = [0]` list,
+        # run_nerf.py:909). By then the training loop has finished and the
+        # final checkpoint is saved, so tolerate it iff all per-step
+        # records exist — otherwise re-raise.
+        import glob as _glob
+
+        if len(mses) < 2 * n or not _glob.glob(
+            os.path.join(spec["workdir"], "*", "*.tar")
+        ):
+            raise
+        print(f"_ref_driver: post-training logging failed ({type(e).__name__}: "
+              f"{e}); training records complete, continuing")
     out = {
         "mse": np.asarray(mses[: 2 * n], np.float64),
         "stamps": np.asarray(stamps[: 2 * n], np.float64),
@@ -143,7 +158,8 @@ def main():
 
         ckpt = torch.load(tars[-1], map_location="cpu")
         for tag, key in (("fn", "network_fn_state_dict"),
-                         ("fine", "network_fine_state_dict")):
+                         ("fine", "network_fine_state_dict"),
+                         ("cam", "camera_model")):
             sd = ckpt.get(key) or {}
             for k, v in sd.items():
                 out[f"{tag}::{k}"] = v.detach().numpy()

@@ -117,9 +117,10 @@ def write_init_ckpt(params, path: str) -> None:
     torch.save(ckpt, path)
 
 
-def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str):
+def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
+                  camera: bool = False):
     """Run the real reference trainer in a subprocess; returns (mse (n,2)
-    fine/coarse, final coarse+fine param pytrees in OUR layout)."""
+    fine/coarse, final coarse+fine[+camera] params in OUR layout)."""
     out_npz = os.path.join(workdir, "ref_out.npz")
     flags = [
         "--expname", "parity", "--basedir", workdir, "--datadir", scene_dir,
@@ -139,9 +140,15 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str):
         "--i_print", "1000000", "--i_img", "1000000",
         "--i_testset", "1000000", "--i_video", "1000000",
         "--i_weights", str(n_steps),
-        "--ray_loss_type", "none", "--camera_model", "none",
+        "--ray_loss_type", "none",
+        "--camera_model",
+        "pinhole_rot_noise_10k_rayo_rayd" if camera else "none",
         "--matcher", "sift", "--seed", "777", "--ft_path", init_tar,
     ]
+    if camera:
+        # Full curriculum active from step 0; no PRD (needs matches).
+        flags += ["--add_ie", "0", "--add_od", "0", "--add_prd", "10000000",
+                  "--grid_size", "10"]
     spec = {"flags": flags, "n_steps": n_steps, "out_npz": out_npz,
             "workdir": workdir}
     spec_path = os.path.join(workdir, "ref_spec.json")
@@ -162,10 +169,17 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str):
         sd = {k[len(tag) + 2:]: data[k] for k in data.files if k.startswith(tag + "::")}
         return torch_nerf_to_params(sd, depth=MLP["depth"]) if sd else None
 
-    return mse, {"coarse": grab("fn"), "fine": grab("fine")}
+    final = {"coarse": grab("fn"), "fine": grab("fine")}
+    cam_sd = {k[5:]: data[k] for k in data.files if k.startswith("cam::")}
+    if cam_sd:
+        from scnerf_tpu.tools.convert import torch_camera_to_fields
+
+        final["camera_fields"] = torch_camera_to_fields(cam_sd)
+    return mse, final
 
 
-def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params):
+def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
+             camera: bool = False):
     """Run our trainer on the identical workload; returns (loss, psnr,
     final params)."""
     import jax
@@ -184,14 +198,37 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params):
 
     idx = np.arange(H * W)
     px, py = (idx % W).astype(np.float32), (idx // W).astype(np.float32)
-    rays_o, rays_d = rays_no_camera(
-        H, W, d.noisy_focal, jnp.asarray(d.noisy_poses[train_idx, :3, :4]), px, py
-    )
-    batch = {
-        "rays_o": rays_o,
-        "rays_d": rays_d,
-        "target": jnp.asarray(d.images[train_idx].reshape(-1, 3)),
-    }
+    if camera:
+        # Learnable camera over the train split, initialised exactly like
+        # the reference's create_nerf camera path (noisy K/E, zero noises).
+        from scnerf_tpu.camera import CameraConfig, OPENGL, init_camera
+
+        K_init = d.gt_intrinsic.copy()
+        K_init[0, 0] = K_init[1, 1] = d.noisy_focal
+        cam = init_camera(
+            K_init, d.noisy_poses[[train_idx]],
+            # NeRF-pipeline reference defaults (config_argparse.py):
+            # ray noise 1e-4, extrinsics/intrinsics noise scale 1.0.
+            CameraConfig(H=H, W=W, grid_size=10, convention=OPENGL,
+                         ray_o_noise_scale=1e-4, ray_d_noise_scale=1e-4,
+                         extrinsics_noise_scale=1.0, intrinsics_noise_scale=1.0),
+        )
+        init_params = dict(init_params, camera=cam)
+        batch = {
+            "px": jnp.asarray(px),
+            "py": jnp.asarray(py),
+            "img_idx": jnp.zeros((H * W,), jnp.int32),
+            "target": jnp.asarray(d.images[train_idx].reshape(-1, 3)),
+        }
+    else:
+        rays_o, rays_d = rays_no_camera(
+            H, W, d.noisy_focal, jnp.asarray(d.noisy_poses[train_idx, :3, :4]), px, py
+        )
+        batch = {
+            "rays_o": rays_o,
+            "rays_d": rays_d,
+            "target": jnp.asarray(d.images[train_idx].reshape(-1, 3)),
+        }
 
     render_cfg = RenderConfig(
         n_samples=SAMPLES["n_samples"], n_importance=SAMPLES["n_importance"],
@@ -229,7 +266,8 @@ def tree_max_diff(a, b) -> float:
     )
 
 
-def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = None):
+def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = None,
+         camera: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -241,19 +279,29 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
     init_tar = os.path.join(workdir, "init.tar")
     write_init_ckpt(init_params, init_tar)
 
-    print(f"[ref_parity] scene={scene} steps={n_steps}")
-    ref_mse, ref_final = run_reference(scene, n_steps, init_tar, workdir)
+    print(f"[ref_parity] scene={scene} steps={n_steps} camera={camera}")
+    ref_mse, ref_final = run_reference(scene, n_steps, init_tar, workdir,
+                                       camera=camera)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
 
-    our_loss, our_psnr, our_final = run_ours(scene, n_steps, model_cfg, init_params)
+    our_loss, our_psnr, our_final = run_ours(scene, n_steps, model_cfg,
+                                             init_params, camera=camera)
 
     rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
     w_diff = {
         k: tree_max_diff(our_final[k], ref_final[k])
         for k in ("coarse", "fine") if ref_final.get(k) is not None
     }
+    if "camera_fields" in ref_final:
+        cam = our_final["camera"]
+        w_diff["camera"] = max(
+            float(np.abs(np.asarray(getattr(cam, f)) - np.asarray(v)).max())
+            for f, v in ref_final["camera_fields"].items()
+            if getattr(cam, f, None) is not None
+        )
     report = {
+        "camera_model": bool(camera),
         "n_steps": n_steps,
         "loss_rel_diff": {
             "step0": float(rel[0]),
@@ -282,5 +330,7 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("--camera", action="store_true",
+                    help="learnable-camera (self-calibration) parity run")
     a = ap.parse_args()
-    main(a.steps, a.out, a.workdir)
+    main(a.steps, a.out, a.workdir, camera=a.camera)

@@ -57,3 +57,45 @@ class TestTrajectoryParity:
 
     def test_final_psnr_close(self, parity_report):
         assert parity_report["psnr_final"]["abs_diff_db"] < 0.1
+
+
+@pytest.fixture(scope="module")
+def camera_parity_report(tmp_path_factory):
+    """Self-calibration parity: BOTH trainers learn camera + MLPs jointly
+    (pinhole_rot_noise_10k_rayo_rayd, curriculum active from step 0)."""
+    if not os.path.exists(REF):
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("torch")
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from scripts.ref_parity import main
+
+    workdir = str(tmp_path_factory.mktemp("ref_parity_cam"))
+    report = main(n_steps=30, out_json=None, workdir=workdir, camera=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return report
+
+
+class TestCameraTrajectoryParity:
+    def test_step0_loss_matches(self, camera_parity_report):
+        assert camera_parity_report["loss_rel_diff"]["step0"] < 1e-4
+
+    def test_trajectory_tracks(self, camera_parity_report):
+        """Fine-resample placement differs at the documented ~2e-4 level
+        (sampling/pdf vs render.py:sample_pdf boundary semantics), which the
+        joint camera optimization amplifies faster than the fixed-camera
+        run — tolerances are accordingly looser."""
+        assert camera_parity_report["loss_rel_diff"]["first10_max"] < 2e-2
+        assert camera_parity_report["loss_rel_diff"]["max"] < 1e-1
+
+    def test_both_descend(self, camera_parity_report):
+        assert (camera_parity_report["our_loss_tail"][-1]
+                < camera_parity_report["our_loss_head"][0])
+        assert (camera_parity_report["ref_loss_tail"][-1]
+                < camera_parity_report["ref_loss_head"][0])
+
+    def test_final_psnr_close(self, camera_parity_report):
+        assert camera_parity_report["psnr_final"]["abs_diff_db"] < 0.15
