@@ -128,3 +128,37 @@ def camera_fields_to_torch(camera) -> dict:
         if v is not None:
             out[theirs] = np.asarray(v)
     return out
+
+
+def load_reference_checkpoint(path: str, depth: int = 8) -> dict:
+    """Load a reference ``.tar`` training checkpoint into our formats.
+
+    The reference saves ``{global_step, network_fn_state_dict,
+    network_fine_state_dict, optimizer_state_dict[, camera_model]}``
+    (``run_nerf.py:627-639``). Returns::
+
+        {"step": int,
+         "coarse": <our MLP pytree>, "fine": <pytree or None>,
+         "camera_fields": <kwargs for Camera.replace, or None>}
+
+    Optimizer state is NOT converted (torch Adam state is per-tensor keyed;
+    restarting Adam moments on migration is standard practice). Requires
+    torch to read the tar.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    as_np = lambda sd: {k: v.detach().numpy() for k, v in sd.items()}
+    out = {
+        "step": int(ckpt.get("global_step", 0)),
+        "coarse": torch_nerf_to_params(as_np(ckpt["network_fn_state_dict"]), depth),
+        "fine": (
+            torch_nerf_to_params(as_np(ckpt["network_fine_state_dict"]), depth)
+            if ckpt.get("network_fine_state_dict") else None
+        ),
+        "camera_fields": (
+            torch_camera_to_fields(as_np(ckpt["camera_model"]))
+            if "camera_model" in ckpt else None
+        ),
+    }
+    return out

@@ -213,14 +213,32 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
     if not cfg.optim.no_reload:
         from scnerf_tpu.train.checkpoint import restore_checkpoint
 
-        for source in ([cfg.optim.ckpt_path] if cfg.optim.ckpt_path else []) + (
-            [os.path.join(expdir, "ckpts")] if expdir else []
-        ):
-            restored = restore_checkpoint(source, state)
-            if restored is not None:
-                state = restored
-                print(f"[resume] restored step {int(state.step)} from {source}")
-                break
+        if cfg.optim.ckpt_path.endswith(".tar") and os.path.exists(cfg.optim.ckpt_path):
+            # MIGRATION path: ft_path pointing at a REFERENCE torch
+            # checkpoint — convert weights in place (fresh optimizer state,
+            # as the reference's own partial optimizer restore effectively
+            # does for new params).
+            from scnerf_tpu.tools.convert import load_reference_checkpoint
+
+            ref = load_reference_checkpoint(cfg.optim.ckpt_path, depth=cfg.model.netdepth)
+            params["coarse"] = ref["coarse"]
+            if ref["fine"] is not None and "fine" in params:
+                params["fine"] = ref["fine"]
+            if ref["camera_fields"] and params.get("camera") is not None:
+                params["camera"] = params["camera"].replace(**ref["camera_fields"])
+            state = create_train_state(params, tx)
+            state = state.replace(step=jnp.asarray(ref["step"], jnp.int32))
+            print(f"[resume] converted reference checkpoint {cfg.optim.ckpt_path} "
+                  f"at step {ref['step']}")
+        else:
+            for source in ([cfg.optim.ckpt_path] if cfg.optim.ckpt_path else []) + (
+                [os.path.join(expdir, "ckpts")] if expdir else []
+            ):
+                restored = restore_checkpoint(source, state)
+                if restored is not None:
+                    state = restored
+                    print(f"[resume] restored step {int(state.step)} from {source}")
+                    break
 
     prd_on = cfg.camera.use_camera and cfg.camera.ray_loss_type == "proj_ray_dist"
     step_fn = make_train_step(model_cfg, render_cfg, train_cfg, curriculum, tx,

@@ -118,14 +118,15 @@ def write_init_ckpt(params, path: str) -> None:
 
 
 def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
-                  camera: bool = False):
+                  camera: bool = False, ndc: bool = False):
     """Run the real reference trainer in a subprocess; returns (mse (n,2)
     fine/coarse, final coarse+fine[+camera] params in OUR layout)."""
     out_npz = os.path.join(workdir, "ref_out.npz")
     flags = [
         "--expname", "parity", "--basedir", workdir, "--datadir", scene_dir,
         "--dataset_type", "llff", "--factor", "1", "--llffhold", "8",
-        "--no_ndc", "--no_batching", "--use_viewdirs",
+        "--no_batching", "--use_viewdirs",
+    ] + ([] if ndc else ["--no_ndc"]) + [
         "--netdepth", str(MLP["depth"]), "--netwidth", str(MLP["width"]),
         "--netdepth_fine", str(MLP["depth"]), "--netwidth_fine", str(MLP["width"]),
         "--multires", str(MLP["multires"]),
@@ -179,7 +180,7 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
 
 
 def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
-             camera: bool = False):
+             camera: bool = False, ndc: bool = False):
     """Run our trainer on the identical workload; returns (loss, psnr,
     final params)."""
     import jax
@@ -193,8 +194,11 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
 
     d = load_llff(scene_dir, factor=1, llffhold=8)
     (train_idx,) = [int(i) for i in d.i_train]
-    near = float(d.bds.min()) * 0.9
-    far = float(d.bds.max())
+    if ndc:
+        near, far = 0.0, 1.0  # load_llff_data's NDC bounds (run_nerf.py:148-149)
+    else:
+        near = float(d.bds.min()) * 0.9
+        far = float(d.bds.max())
 
     idx = np.arange(H * W)
     px, py = (idx % W).astype(np.float32), (idx // W).astype(np.float32)
@@ -229,6 +233,8 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
             "rays_d": rays_d,
             "target": jnp.asarray(d.images[train_idx].reshape(-1, 3)),
         }
+        if ndc:
+            batch.update(focal=d.noisy_focal, H=H, W=W)
 
     render_cfg = RenderConfig(
         n_samples=SAMPLES["n_samples"], n_importance=SAMPLES["n_importance"],
@@ -236,7 +242,7 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
     )
     train_cfg = TrainConfig(
         lr_init=LR, lr_decay_steps=LR_DECAY * 1000, near=near, far=far,
-        use_ndc=False,
+        use_ndc=ndc,
     )
     params = dict(init_params)
     tx = make_optimizer(LR, LR_DECAY * 1000, params_example=params)
@@ -267,7 +273,7 @@ def tree_max_diff(a, b) -> float:
 
 
 def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = None,
-         camera: bool = False):
+         camera: bool = False, ndc: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -279,14 +285,14 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
     init_tar = os.path.join(workdir, "init.tar")
     write_init_ckpt(init_params, init_tar)
 
-    print(f"[ref_parity] scene={scene} steps={n_steps} camera={camera}")
+    print(f"[ref_parity] scene={scene} steps={n_steps} camera={camera} ndc={ndc}")
     ref_mse, ref_final = run_reference(scene, n_steps, init_tar, workdir,
-                                       camera=camera)
+                                       camera=camera, ndc=ndc)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
 
     our_loss, our_psnr, our_final = run_ours(scene, n_steps, model_cfg,
-                                             init_params, camera=camera)
+                                             init_params, camera=camera, ndc=ndc)
 
     rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
     w_diff = {
@@ -302,6 +308,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         )
     report = {
         "camera_model": bool(camera),
+        "ndc": bool(ndc),
         "n_steps": n_steps,
         "loss_rel_diff": {
             "step0": float(rel[0]),
@@ -332,5 +339,7 @@ if __name__ == "__main__":
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--camera", action="store_true",
                     help="learnable-camera (self-calibration) parity run")
+    ap.add_argument("--ndc", action="store_true",
+                    help="NDC-space run (the reference's LLFF default)")
     a = ap.parse_args()
-    main(a.steps, a.out, a.workdir, camera=a.camera)
+    main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc)

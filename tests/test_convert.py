@@ -133,3 +133,88 @@ class TestCameraConversion:
         np.testing.assert_array_equal(np.asarray(fields["intrinsics_init"]), sd["intrinsics_initial"])
         np.testing.assert_array_equal(np.asarray(fields["ray_o_grid"]), sd["ray_o_noise"])
         assert "distortion_init" not in fields
+
+
+class TestReferenceCheckpointLoading:
+    def test_load_reference_tar_roundtrip(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import jax
+
+        from scnerf_tpu.fields.nerf import NeRFConfig, init_nerf_mlp
+        from scnerf_tpu.tools.convert import (
+            load_reference_checkpoint,
+            params_to_torch_nerf,
+        )
+
+        cfg = NeRFConfig(depth=3, width=16, skips=(1,), multires=2, multires_views=2)
+        p = {"coarse": init_nerf_mlp(jax.random.key(0), cfg),
+             "fine": init_nerf_mlp(jax.random.key(1), cfg)}
+        tar = str(tmp_path / "200000.tar")
+        torch.save({
+            "global_step": 200000,
+            "network_fn_state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                                      for k, v in params_to_torch_nerf(p["coarse"]).items()},
+            "network_fine_state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                                        for k, v in params_to_torch_nerf(p["fine"]).items()},
+            "optimizer_state_dict": {"state": {}},
+        }, tar)
+        out = load_reference_checkpoint(tar, depth=3)
+        assert out["step"] == 200000 and out["camera_fields"] is None
+        for a, b in zip(jax.tree.leaves(p["coarse"]), jax.tree.leaves(out["coarse"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_driver_warm_starts_from_reference_tar(self, tmp_path):
+        """The main_table_2 regime: --ft_path pointing at a reference .tar
+        warm-starts our driver (weights converted, step restored)."""
+        torch = pytest.importorskip("torch")
+        import jax
+        import json as _json
+        import os as _os
+
+        from tests.test_data import write_png
+        from scnerf_tpu.data.blender import pose_spherical
+        from scnerf_tpu.fields.nerf import NeRFConfig, init_nerf_mlp
+        from scnerf_tpu.tools.convert import params_to_torch_nerf
+
+        root = tmp_path / "ds"
+        H = W = 16
+        for split, n in [("train", 2), ("val", 1), ("test", 1)]:
+            _os.makedirs(root / split, exist_ok=True)
+            frames = []
+            for i in range(n):
+                pose = np.array(pose_spherical(i * 30.0, -30.0, 4.0))
+                img = np.zeros((H, W, 4)); img[..., 3] = 1
+                write_png(root / split / f"r_{i}.png", img)
+                frames.append({"file_path": f"./{split}/r_{i}",
+                               "transform_matrix": pose.tolist()})
+            (root / f"transforms_{split}.json").write_text(
+                _json.dumps({"camera_angle_x": 0.69, "frames": frames}))
+
+        mcfg = NeRFConfig(depth=2, width=16, skips=(1,), multires=2, multires_views=2)
+        marker = {"coarse": init_nerf_mlp(jax.random.key(9), mcfg),
+                  "fine": init_nerf_mlp(jax.random.key(10), mcfg)}
+        tar = str(tmp_path / "ref_ckpt.tar")
+        torch.save({
+            "global_step": 1234,
+            "network_fn_state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                                      for k, v in params_to_torch_nerf(marker["coarse"]).items()},
+            "network_fine_state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                                        for k, v in params_to_torch_nerf(marker["fine"]).items()},
+            "optimizer_state_dict": {"state": {}},
+        }, tar)
+
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.driver import build_experiment
+
+        flags = {"dataset_type": "blender", "datadir": str(root), "N_rand": 16,
+                 "N_samples": 4, "N_importance": 4, "netdepth": 2, "netwidth": 16,
+                 "multires": 2, "multires_views": 2, "camera_model": "none",
+                 "ft_path": tar, "expname": "warm", "basedir": str(tmp_path / "logs")}
+        cfg = experiment_from_flags(flags, warn=lambda *a: None)
+        # NeRFConfig skips default (4,) but depth 2 -> driver builds skips
+        # from its own config; weights shapes must line up with depth 2.
+        exp = build_experiment(cfg, None)
+        assert int(exp.state.step) == 1234
+        got = exp.state.params["coarse"]
+        for a, b in zip(jax.tree.leaves(marker["coarse"]), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -99,3 +99,34 @@ class TestCameraTrajectoryParity:
 
     def test_final_psnr_close(self, camera_parity_report):
         assert camera_parity_report["psnr_final"]["abs_diff_db"] < 0.15
+
+
+@pytest.fixture(scope="module")
+def ndc_parity_report(tmp_path_factory):
+    """NDC-space parity — the reference's default LLFF configuration."""
+    if not os.path.exists(REF):
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("torch")
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from scripts.ref_parity import main
+
+    workdir = str(tmp_path_factory.mktemp("ref_parity_ndc"))
+    report = main(n_steps=25, out_json=None, workdir=workdir, ndc=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return report
+
+
+class TestNdcTrajectoryParity:
+    def test_step0_loss_matches(self, ndc_parity_report):
+        assert ndc_parity_report["loss_rel_diff"]["step0"] < 1e-4
+
+    def test_trajectory_tracks(self, ndc_parity_report):
+        assert ndc_parity_report["loss_rel_diff"]["first10_max"] < 5e-3
+        assert ndc_parity_report["loss_rel_diff"]["max"] < 5e-2
+
+    def test_final_psnr_close(self, ndc_parity_report):
+        assert ndc_parity_report["psnr_final"]["abs_diff_db"] < 0.1
