@@ -115,9 +115,11 @@ def make_train_step(
         rgb = jnp.minimum(out["rgb"], 1.0)
         mse = img2mse(rgb, target)
         loss = mse
-        if "rgb0" in out:
-            loss = loss + img2mse(jnp.minimum(out["rgb0"], 1.0), target)
         metrics = {"mse": mse, "psnr": mse2psnr(mse)}
+        if "rgb0" in out:
+            mse0 = img2mse(jnp.minimum(out["rgb0"], 1.0), target)
+            loss = loss + mse0
+            metrics["mse0"] = mse0
 
         if with_prd:
             assert camera is not None, "PRD requires the camera model"

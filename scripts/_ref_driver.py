@@ -91,6 +91,24 @@ def _patch_cpu():
     # n_gpus multiplies netchunk; 0 would make the chunked loop step by 0.
     torch.cuda.device_count = lambda: 1
 
+    # The matcher path hardcodes .to(rank) with rank=0 (a CUDA ordinal).
+    orig_to = torch.Tensor.to
+
+    def to_cpu(self, *a, **k):
+        if a and (
+            isinstance(a[0], int)
+            or (isinstance(a[0], str) and "cuda" in a[0])
+            or (isinstance(a[0], torch.device) and a[0].type == "cuda")
+        ):
+            a = ("cpu",) + a[1:]
+        if isinstance(k.get("device"), (int,)) or (
+            isinstance(k.get("device"), str) and "cuda" in k.get("device", "")
+        ):
+            k["device"] = "cpu"
+        return orig_to(self, *a, **k)
+
+    torch.Tensor.to = to_cpu
+
     # Modern imageio dropped the ignoregamma kwarg the reference passes.
     import imageio
 

@@ -37,6 +37,7 @@ sys.path.insert(0, REPO)
 
 H, W, FOCAL = 24, 32, 28.0
 N_IMAGES = 2
+TEXTURE = False  # PRD mode: high-frequency texture so SIFT finds matches
 NEAR_FAR_FROM_BDS = True
 MLP = dict(depth=8, width=64, skips=(4,), multires=10, multires_views=4)
 SAMPLES = dict(n_samples=12, n_importance=12)
@@ -55,6 +56,12 @@ def scene_image(i: int) -> np.ndarray:
         ],
         -1,
     )
+    if TEXTURE:
+        # one fixed random texture, translated per view: dense, repeatable
+        # SIFT correspondences with a plausible dominant motion.
+        tex_rng = np.random.RandomState(99)
+        base = tex_rng.rand(H, W * 2, 3)
+        img = 0.35 * img + 0.65 * base[:, 2 * i : 2 * i + W]
     return np.clip(img * 255.0, 0, 255).round().astype(np.uint8)
 
 
@@ -117,8 +124,53 @@ def write_init_ckpt(params, path: str) -> None:
     torch.save(ckpt, path)
 
 
+def reference_sift_matches(img0: np.ndarray, img1: np.ndarray):
+    """Correspondences via the REFERENCE's own SIFT pipeline, imported as an
+    oracle module (model/reprojection.py runSIFTSinglePair + ray_dist_loss
+    preprocess_match) so both trainers see bit-identical matches."""
+    import importlib.util
+    import types
+
+    import cv2 as cv
+    import torch
+
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    for name in ("thirdparty", "thirdparty.superglue", "thirdparty.superglue.models",
+                 "thirdparty.superglue.models.matching"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name.endswith("matching"):
+                mod.Matching = object
+            sys.modules[name] = mod
+
+    def load(path, name):
+        if name in sys.modules:
+            return sys.modules[name]
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, "/root/reference/model")
+    try:
+        repro = load("/root/reference/model/reprojection.py", "_refp_reprojection")
+        rdl = load("/root/reference/model/ray_dist_loss.py", "_refp_ray_dist_loss")
+    finally:
+        sys.path.pop(0)
+        sys.path.pop(0)
+    result = repro.runSIFTSinglePair(
+        cv.SIFT_create(), torch.from_numpy(img0), torch.from_numpy(img1), "cpu", None
+    )
+    pm = rdl.preprocess_match(result)
+    if pm is None or pm[0] is None:
+        return None
+    return (pm[0].numpy().astype(np.float32), pm[1].numpy().astype(np.float32))
+
+
 def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
-                  camera: bool = False, ndc: bool = False):
+                  camera: bool = False, ndc: bool = False, prd: bool = False):
     """Run the real reference trainer in a subprocess; returns (mse (n,2)
     fine/coarse, final coarse+fine[+camera] params in OUR layout)."""
     out_npz = os.path.join(workdir, "ref_out.npz")
@@ -147,9 +199,14 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
         "--matcher", "sift", "--seed", "777", "--ft_path", init_tar,
     ]
     if camera:
-        # Full curriculum active from step 0; no PRD (needs matches).
-        flags += ["--add_ie", "0", "--add_od", "0", "--add_prd", "10000000",
-                  "--grid_size", "10"]
+        # Full curriculum active from step 0.
+        flags += ["--add_ie", "0", "--add_od", "0", "--grid_size", "10",
+                  "--add_prd", "0" if prd else "10000000"]
+    if prd:
+        i = flags.index("none", flags.index("--ray_loss_type"))
+        flags[i] = "proj_ray_dist"
+        flags += ["--i_ray_dist_loss", "10", "--ray_dist_loss_weight", "0.0001",
+                  "--pairing_angle_threshold", "30"]
     spec = {"flags": flags, "n_steps": n_steps, "out_npz": out_npz,
             "workdir": workdir}
     spec_path = os.path.join(workdir, "ref_spec.json")
@@ -180,9 +237,10 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
 
 
 def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
-             camera: bool = False, ndc: bool = False):
+             camera: bool = False, ndc: bool = False, prd: bool = False):
     """Run our trainer on the identical workload; returns (loss, psnr,
-    final params)."""
+    final params). ``loss`` is the PHOTOMETRIC part (fine + coarse mse),
+    matching what the reference-side tap records."""
     import jax
     import jax.numpy as jnp
 
@@ -193,6 +251,8 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
     from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
 
     d = load_llff(scene_dir, factor=1, llffhold=8)
+    if prd:
+        return _run_ours_prd(d, n_steps, model_cfg, init_params)
     (train_idx,) = [int(i) for i in d.i_train]
     if ndc:
         near, far = 0.0, 1.0  # load_llff_data's NDC bounds (run_nerf.py:148-149)
@@ -262,6 +322,127 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
     return np.asarray(losses), np.asarray(psnrs), state.params
 
 
+def _run_ours_prd(d, n_steps: int, model_cfg, init_params):
+    """Flagship-regime replication: multi-image training with the learnable
+    camera AND the projected-ray-distance loss.
+
+    Exactness here needs two reproductions of the reference run:
+
+    - **RNG replay.** The reference seeds numpy (fix_seeds(777)) and draws,
+      per iteration: the training image, the no-replacement pixel
+      permutation (irrelevant to the mean loss, but it advances the RNG),
+      and — on PRD-cadence steps (global_step % 10 == 1,
+      run_nerf.py:505-516) — the partner image. We replay the identical
+      draw sequence.
+    - **The once-per-pair PRD quirk.** The reference's match cache puts the
+      whole PRD computation under the cache-miss branch
+      (run_nerf.py:517-601: the ``if result[0] is not None`` at :532 is
+      indented inside the ``else:`` at :519), so the PRD loss joins the
+      objective only the FIRST time each image pair is encountered; cached
+      pairs train photometric-only. Replicated as-is — the harness pins the
+      reference's actual behavior, while our production driver applies PRD
+      at every cadence step (documented divergence, like the camera-grad
+      sync fix).
+
+    Matches come from the reference's own SIFT pipeline (oracle import) so
+    both sides see identical correspondences.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from scnerf_tpu.camera import CameraConfig, OPENGL, init_camera
+    from scnerf_tpu.matching.pairs import image_pair_candidates
+    from scnerf_tpu.render.renderer import RenderConfig
+    from scnerf_tpu.train.curriculum import Curriculum
+    from scnerf_tpu.train.optim import make_optimizer
+    from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
+
+    i_train = np.asarray(d.i_train)
+    near = float(d.bds.min()) * 0.9
+    far = float(d.bds.max())
+    K_init = d.gt_intrinsic.copy()
+    K_init[0, 0] = K_init[1, 1] = d.noisy_focal
+    cam = init_camera(
+        K_init, d.noisy_poses[i_train],
+        CameraConfig(H=H, W=W, grid_size=10, convention=OPENGL,
+                     ray_o_noise_scale=1e-4, ray_d_noise_scale=1e-4,
+                     extrinsics_noise_scale=1.0, intrinsics_noise_scale=1.0),
+    )
+    params = dict(init_params, camera=cam)
+    render_cfg = RenderConfig(
+        n_samples=SAMPLES["n_samples"], n_importance=SAMPLES["n_importance"],
+        perturb=False, raw_noise_std=0.0, use_viewdirs=True,
+    )
+    train_cfg = TrainConfig(lr_init=LR, lr_decay_steps=LR_DECAY * 1000,
+                            near=near, far=far, use_ndc=False,
+                            prd_method="NeRF", prd_threshold=5.0)
+    cur = Curriculum(add_prd=0, i_ray_dist_loss=10, ray_dist_loss_weight=1e-4)
+    tx = make_optimizer(LR, LR_DECAY * 1000, params_example=params)
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(model_cfg, render_cfg, train_cfg, cur, tx,
+                              with_prd=False, donate=False)
+    step_prd_fn = make_train_step(model_cfg, render_cfg, train_cfg, cur, tx,
+                                  with_prd=True, donate=False)
+
+    # feasible pairs over the noisy train poses, global ids (as the ref)
+    pairs = image_pair_candidates(d.noisy_poses[i_train], 30.0, i_map=i_train)
+    local = {int(g): li for li, g in enumerate(i_train)}
+
+    idx = np.arange(H * W)
+    px_all = (idx % W).astype(np.float32)
+    py_all = (idx // W).astype(np.float32)
+
+    np.random.seed(777)  # fix_seeds(777): replay the reference's np stream
+    seen_pairs = set()
+    match_cache = {}
+    losses, psnrs = [], []
+    key = jax.random.key(0)
+    for it in range(n_steps):
+        gstep = it  # reference global_step during its iteration i = it + 1
+        img_i = int(np.random.choice(i_train))
+        np.random.choice(H * W, size=[H * W], replace=False)  # RNG-advance only
+        ci = local[img_i]
+        batch = {
+            "px": jnp.asarray(px_all),
+            "py": jnp.asarray(py_all),
+            "img_idx": jnp.full((H * W,), ci, jnp.int32),
+            "target": jnp.asarray(d.images[img_i].reshape(-1, 3)),
+        }
+        prd_batch = None
+        if gstep % 10 == 1 and img_i in pairs and len(pairs[img_i]):
+            img_j = int(np.random.choice(pairs[img_i]))
+            cj = local[img_j]
+            if (ci, cj) not in seen_pairs:  # the once-per-pair quirk
+                seen_pairs.add((ci, cj))
+                if (img_i, img_j) not in match_cache:
+                    match_cache[(img_i, img_j)] = reference_sift_matches(
+                        d.images[img_i], d.images[img_j]
+                    )
+                m = match_cache[(img_i, img_j)]
+                if m is not None:
+                    kps0, kps1 = m
+                    prd_batch = dict(
+                        batch,
+                        kps0=jnp.asarray(kps0), kps1=jnp.asarray(kps1),
+                        kp_mask=jnp.ones((kps0.shape[0],), bool),
+                        pair_idx=jnp.asarray([ci, cj]),
+                    )
+        if prd_batch is not None:
+            state, metrics = step_prd_fn(state, prd_batch, jax.random.fold_in(key, it))
+        else:
+            state, metrics = step_fn(state, batch, jax.random.fold_in(key, it))
+        losses.append(float(metrics["mse"]) + float(metrics["mse0"]))
+        psnrs.append(float(metrics["psnr"]))
+    if not seen_pairs:
+        raise RuntimeError(
+            "PRD parity run never applied the PRD loss — no feasible pair "
+            "was drawn or SIFT found no matches; the run would be vacuous."
+        )
+    print(f"[ref_parity] PRD applied on {sorted(seen_pairs)} (once per "
+          f"direction, the reference's cache quirk)")
+    return np.asarray(losses), np.asarray(psnrs), state.params
+
+
 def tree_max_diff(a, b) -> float:
     import jax
 
@@ -273,11 +454,15 @@ def tree_max_diff(a, b) -> float:
 
 
 def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = None,
-         camera: bool = False, ndc: bool = False):
+         camera: bool = False, ndc: bool = False, prd: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
 
+    global N_IMAGES, TEXTURE
+    if prd:
+        camera = True
+        N_IMAGES, TEXTURE = 3, True  # 2 train images -> 1 feasible pair
     workdir = workdir or tempfile.mkdtemp(prefix="ref_parity_")
     scene = os.path.join(workdir, "scene")
     build_scene(scene)
@@ -287,12 +472,13 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
 
     print(f"[ref_parity] scene={scene} steps={n_steps} camera={camera} ndc={ndc}")
     ref_mse, ref_final = run_reference(scene, n_steps, init_tar, workdir,
-                                       camera=camera, ndc=ndc)
+                                       camera=camera, ndc=ndc, prd=prd)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
 
     our_loss, our_psnr, our_final = run_ours(scene, n_steps, model_cfg,
-                                             init_params, camera=camera, ndc=ndc)
+                                             init_params, camera=camera, ndc=ndc,
+                                             prd=prd)
 
     rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
     w_diff = {
@@ -309,6 +495,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
     report = {
         "camera_model": bool(camera),
         "ndc": bool(ndc),
+        "prd": bool(prd),
         "n_steps": n_steps,
         "loss_rel_diff": {
             "step0": float(rel[0]),
@@ -341,5 +528,7 @@ if __name__ == "__main__":
                     help="learnable-camera (self-calibration) parity run")
     ap.add_argument("--ndc", action="store_true",
                     help="NDC-space run (the reference's LLFF default)")
+    ap.add_argument("--prd", action="store_true",
+                    help="flagship regime: camera + projected-ray-distance loss")
     a = ap.parse_args()
-    main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc)
+    main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc, prd=a.prd)

@@ -130,3 +130,35 @@ class TestNdcTrajectoryParity:
 
     def test_final_psnr_close(self, ndc_parity_report):
         assert ndc_parity_report["psnr_final"]["abs_diff_db"] < 0.1
+
+
+@pytest.fixture(scope="module")
+def prd_parity_report(tmp_path_factory):
+    """Flagship-regime parity: photometric + learnable camera + PRD loss,
+    with the reference's RNG stream replayed and its once-per-pair PRD
+    cache quirk replicated (see scripts/ref_parity.py:_run_ours_prd)."""
+    if not os.path.exists(REF):
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("torch")
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from scripts.ref_parity import main
+
+    workdir = str(tmp_path_factory.mktemp("ref_parity_prd"))
+    report = main(n_steps=15, out_json=None, workdir=workdir, prd=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return report
+
+
+class TestPrdTrajectoryParity:
+    def test_step0_loss_matches(self, prd_parity_report):
+        assert prd_parity_report["loss_rel_diff"]["step0"] < 1e-4
+
+    def test_trajectory_tracks(self, prd_parity_report):
+        assert prd_parity_report["loss_rel_diff"]["max"] < 5e-2
+
+    def test_final_psnr_close(self, prd_parity_report):
+        assert prd_parity_report["psnr_final"]["abs_diff_db"] < 0.15
