@@ -127,6 +127,9 @@ class CameraFlags:
     i_ray_dist_loss: int = 10
     ray_dist_loss_weight: float = 1e-4
     proj_ray_dist_threshold: float = 5.0
+    # Distortion-aware PRD (losses/prd.py): off by default — the reference
+    # left the undistortion path commented out (ray_dist_loss.py:188-199).
+    prd_undistort: bool = False
     pairing_angle_threshold: float = 30.0
     matcher: str = "precomputed"  # precomputed | sift | superglue
     match_num: int = 1024

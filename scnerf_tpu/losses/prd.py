@@ -29,12 +29,26 @@ def prd_pointwise(
     K: jnp.ndarray,
     extrinsics_pair: jnp.ndarray,
     method: str = "NeRF",
+    distortion_k: jnp.ndarray | None = None,
+    image_wh: tuple | None = None,
 ):
     """Per-correspondence squared reprojection distances.
 
     Returns (loss0 ``(M,)``, loss1 ``(M,)``, chirality ``(M,)`` float mask).
     ``loss0`` is the distance in image 0 (point from ray pair projected into
     camera 0 vs ``kps0``); ``loss1`` likewise in image 1.
+
+    ``distortion_k`` (with static ``image_wh = (W, H)``) enables the
+    distortion-aware variant the reference sketched but left commented out
+    (``ray_dist_loss.py:188-199``): with a radial-distortion camera, rays
+    are generated from WARPED pixel coordinates, so the pinhole projection
+    of the triangulated point lands in warped space while the detected
+    keypoints live in raw pixel space. The inverse-distortion lookup maps
+    the projections back to raw pixels before the comparison; projections
+    outside the invertible range fail the chirality-style validity mask.
+    The lookup's interpolation is differentiable in both the projection and
+    ``k`` — this is what makes k observable through the PRD loss (measured
+    unobservable without it).
     """
     if method == "NeRF":
         K = K.at[0, 0].set(-K[0, 0])
@@ -95,6 +109,18 @@ def prd_pointwise(
     p1_in_im0 = project(p1, ext_inv[0])
 
     chirality = jnp.logical_and(t0 > 0, t1 > 0).astype(jnp.float32)
+    if distortion_k is not None:
+        from scnerf_tpu.camera.distortion import undistort_pixels
+
+        assert image_wh is not None, "distortion-aware PRD needs image_wh=(W, H)"
+        W, H = image_wh
+        v0, p1_in_im0 = undistort_pixels(
+            W, H, distortion_k, p1_in_im0[..., 0], p1_in_im0[..., 1]
+        )
+        v1, p0_in_im1 = undistort_pixels(
+            W, H, distortion_k, p0_in_im1[..., 0], p0_in_im1[..., 1]
+        )
+        chirality = chirality * v0.astype(jnp.float32) * v1.astype(jnp.float32)
     # Second overflow guard: the projection itself can reach ~1e12 px for
     # surviving near-degenerate points; cap the squared error well above any
     # real threshold so downstream masking keeps finite gradients.
@@ -115,6 +141,8 @@ def prd_loss(
     threshold: float = 5.0,
     method: str = "NeRF",
     mode: str = "train",
+    distortion_k: jnp.ndarray | None = None,
+    image_wh: tuple | None = None,
 ):
     """PRD for one image pair over a padded batch of correspondences.
 
@@ -140,7 +168,8 @@ def prd_loss(
     mask = mask.astype(jnp.float32)
 
     loss0, loss1, chirality = prd_pointwise(
-        kps0, kps1, rays0, rays1, K, extrinsics_pair, method=method
+        kps0, kps1, rays0, rays1, K, extrinsics_pair, method=method,
+        distortion_k=distortion_k, image_wh=image_wh,
     )
     valid_base = mask * chirality
 

@@ -83,6 +83,7 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
         autoexpo=cfg.model.autoexpo,
         lambda_autoexpo=cfg.model.lambda_autoexpo,
         prd_threshold=cfg.camera.proj_ray_dist_threshold,
+        prd_undistort=cfg.camera.prd_undistort,
     )
     curriculum = Curriculum(
         add_ie=cfg.camera.add_ie, add_od=cfg.camera.add_od,

@@ -34,6 +34,11 @@ class NerfPPTrainConfig:
     autoexpo: bool = static_field(default=False)
     lambda_autoexpo: float = static_field(default=1e-2)
     prd_threshold: float = static_field(default=5.0)
+    # Distortion-aware PRD: map projections through the inverse-distortion
+    # lookup before comparing to keypoints (losses/prd.py docstring). The
+    # reference left this path commented out (ray_dist_loss.py:188-199) —
+    # off by default for parity; enabling makes radial k observable via PRD.
+    prd_undistort: bool = static_field(default=False)
 
 
 def make_nerfpp_train_step(
@@ -94,6 +99,16 @@ def make_nerfpp_train_step(
             i0, i1 = batch["pair_idx"][0], batch["pair_idx"][1]
             r0 = pixels_to_rays(camera, batch["kps0"][:, 0], batch["kps0"][:, 1], image_idx=i0)
             r1 = pixels_to_rays(camera, batch["kps1"][:, 0], batch["kps1"][:, 1], image_idx=i1)
+            use_undistort = (
+                train_cfg.prd_undistort and camera.config.use_distortion
+            )
+            if use_undistort:
+                from scnerf_tpu.camera.model import get_distortion
+
+                dist_k = get_distortion(camera)
+                image_wh = (camera.config.W, camera.config.H)
+            else:
+                dist_k, image_wh = None, None
             prd, n_match = prd_loss(
                 batch["kps0"], batch["kps1"], r0, r1,
                 get_intrinsic(camera), get_extrinsic(camera, jnp.stack([i0, i1])),
@@ -101,6 +116,8 @@ def make_nerfpp_train_step(
                 threshold=train_cfg.prd_threshold,
                 method="NeRF++",
                 mode="train",
+                distortion_k=dist_k,
+                image_wh=image_wh,
             )
             w = prd_active(step, curriculum)
             safe = jnp.where(n_match > 0, prd, 0.0)

@@ -188,3 +188,114 @@ class TestPrdDegenerate:
         assert np.isfinite(float(val))
         for leaf in jax.tree.leaves(g):
             assert np.isfinite(np.asarray(leaf)).all(), "NaN/Inf in PRD gradient"
+
+
+class TestDistortionAwarePrd:
+    """The distortion-aware PRD variant (losses/prd.py: the reference's
+    commented-out ray_dist_loss.py:188-199 path, implemented): projections
+    are mapped through the inverse-distortion lookup before comparison,
+    which makes the radial k observable through PRD."""
+
+    K_GT = np.array([0.06, -0.02], np.float32)
+
+    def _scene(self, n_pts=64, H=240, W=320):
+        from scnerf_tpu.camera.distortion import undistort_pixels
+
+        rng = np.random.RandomState(6)
+        cfg = CameraConfig(H=H, W=W, convention=OPENCV, pixel_offset=0.5,
+                           use_distortion=True)
+        K = np.array([[260.0, 0, W / 2, 0], [0, 260.0, H / 2, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]])
+        E = np.broadcast_to(np.eye(4), (2, 4, 4)).copy()
+        E[1] = np.array(embed_rotation_44(axis_angle_to_rotation(
+            jnp.array([[0.0, 1.0, 0.0]]), jnp.array([0.08]))))[0]
+        E[1, :3, 3] = [0.4, 0.05, 0.0]
+        # wide spread so the radial warp moves edge points by several px
+        pts = rng.randn(n_pts, 3) * np.array([0.85, 0.65, 0.3]) + np.array([0, 0, 4.0])
+        k = jnp.asarray(self.K_GT)
+
+        def raw_kps(E_i):
+            """SIFT-like raw pixel coords: pinhole projection (warped space)
+            mapped through the inverse lookup."""
+            cam_pts = (pts - E_i[:3, 3]) @ E_i[:3, :3]
+            pix = cam_pts @ K[:3, :3].T
+            warped = pix[:, :2] / pix[:, 2:3]
+            valid, xy = undistort_pixels(W, H, k, jnp.asarray(warped[:, 0]),
+                                         jnp.asarray(warped[:, 1]))
+            return np.asarray(valid), np.asarray(xy, np.float32)
+
+        v0, kps0_u = raw_kps(E[0])
+        v1, kps1_u = raw_kps(E[1])
+        keep = v0 & v1  # only points invertible in both views
+        kps0_u, kps1_u = kps0_u[keep], kps1_u[keep]
+        assert keep.sum() > 40, keep.sum()
+        cam = init_camera(K, E, cfg, k=np.asarray(self.K_GT))
+        return cam, kps0_u, kps1_u
+
+    def _prd(self, cam, kps0_u, kps1_u, k_for_loss):
+        from scnerf_tpu.losses.prd import prd_loss
+
+        r0 = pixels_to_rays(cam, jnp.asarray(kps0_u[:, 0]) - 0.5,
+                            jnp.asarray(kps0_u[:, 1]) - 0.5, image_idx=0,
+                            add_noise=False)
+        r1 = pixels_to_rays(cam, jnp.asarray(kps1_u[:, 0]) - 0.5,
+                            jnp.asarray(kps1_u[:, 1]) - 0.5, image_idx=1,
+                            add_noise=False)
+        W, H = cam.config.W, cam.config.H
+        loss, n = prd_loss(
+            jnp.asarray(kps0_u), jnp.asarray(kps1_u), r0, r1,
+            get_intrinsic(cam), get_extrinsic(cam, jnp.array([0, 1])),
+            method="NeRF++", mode="val", threshold=100.0,
+            distortion_k=k_for_loss, image_wh=(W, H),
+        )
+        return float(loss), float(n)
+
+    def test_gt_k_scores_near_zero(self):
+        cam, kps0_u, kps1_u = self._scene()
+        from scnerf_tpu.camera.model import get_distortion
+
+        loss, n = self._prd(cam, kps0_u, kps1_u, get_distortion(cam))
+        assert n > 32
+        assert loss < 1e-2, loss
+
+    def test_wrong_k_scores_high(self):
+        """Clamping-free comparison: evaluating with k=0 while the data was
+        made by k_gt must blow the PRD up — i.e. k is observable."""
+        cam, kps0_u, kps1_u = self._scene()
+        loss_gt, _ = self._prd(cam, kps0_u, kps1_u, jnp.asarray(self.K_GT))
+        loss_zero, _ = self._prd(cam, kps0_u, kps1_u, jnp.zeros(2))
+        assert loss_zero > 50 * max(loss_gt, 1e-4), (loss_gt, loss_zero)
+
+    def test_k_gradient_nonzero(self):
+        """d(PRD)/d(distortion_noise) must be nonzero — the property the
+        reference's commented-out path was meant to provide."""
+        from scnerf_tpu.camera.model import get_distortion
+        from scnerf_tpu.losses.prd import prd_loss
+
+        cam, kps0_u, kps1_u = self._scene()
+        cam_off = cam.replace(distortion_noise=jnp.asarray([2.0, -1.0]))  # k shift 0.02 at scale 1e-2
+        W, H = cam.config.W, cam.config.H
+
+        def f(noise):
+            c = cam_off.replace(distortion_noise=noise)
+            r0 = pixels_to_rays(c, jnp.asarray(kps0_u[:, 0]) - 0.5,
+                                jnp.asarray(kps0_u[:, 1]) - 0.5, image_idx=0,
+                                add_noise=False)
+            r1 = pixels_to_rays(c, jnp.asarray(kps1_u[:, 0]) - 0.5,
+                                jnp.asarray(kps1_u[:, 1]) - 0.5, image_idx=1,
+                                add_noise=False)
+            loss, _ = prd_loss(
+                jnp.asarray(kps0_u), jnp.asarray(kps1_u), r0, r1,
+                get_intrinsic(c), get_extrinsic(c, jnp.array([0, 1])),
+                method="NeRF++", mode="val", threshold=100.0,
+                distortion_k=get_distortion(c), image_wh=(W, H),
+            )
+            return loss
+
+        g = jax.grad(f)(cam_off.distortion_noise)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.linalg.norm(np.asarray(g)) > 1e-4, g
+        # descending the gradient reduces the loss (sanity)
+        eps = 1e-3
+        noise = cam_off.distortion_noise
+        assert float(f(noise - eps * g / jnp.linalg.norm(g))) < float(f(noise))
