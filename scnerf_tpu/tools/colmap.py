@@ -186,3 +186,90 @@ def normalize_cameras_to_unit_sphere(
     out = poses.copy()
     out[:, :3, 3] = (centers + translate) * scale
     return out, scale, translate
+
+
+def _camera_K(cam: ColmapCamera) -> np.ndarray:
+    """4x4 K from a COLMAP camera of any pinhole-family model."""
+    p = np.asarray(cam.params, float)
+    if cam.model in ("PINHOLE", "OPENCV", "FULL_OPENCV", "OPENCV_FISHEYE"):
+        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+    elif cam.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
+                       "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
+        fx = fy = p[0]
+        cx, cy = p[1], p[2]
+    else:
+        raise ValueError(f"unsupported COLMAP camera model {cam.model}")
+    K = np.eye(4)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = fx, fy, cx, cy
+    return K
+
+
+def extract_cam_dict(sparse_dir: str) -> dict:
+    """COLMAP sparse model -> NeRF++ cam_dict (the ``kai_cameras.json``
+    schema of ``colmap_runner/extract_sfm.py:48-84``): per image name,
+    ``{"K": 16 floats, "W2C": 16 floats, "img_size": [w, h]}``."""
+    cams = read_cameras_bin(os.path.join(sparse_dir, "cameras.bin"))
+    imgs = read_images_bin(os.path.join(sparse_dir, "images.bin"))
+    out = {}
+    for img in imgs.values():
+        K = _camera_K(cams[img.camera_id])
+        W2C = np.eye(4)
+        W2C[:3, :3] = qvec2rotmat(img.qvec)
+        W2C[:3, 3] = img.tvec
+        out[img.name] = {
+            "K": K.reshape(-1).tolist(),
+            "W2C": W2C.reshape(-1).tolist(),
+            "img_size": [cams[img.camera_id].width, cams[img.camera_id].height],
+        }
+    return out
+
+
+def normalize_cam_dict(cam_dict: dict, target_radius: float = 1.0) -> dict:
+    """Translate+scale all cameras into the target sphere — the NeRF++
+    dataset-prep normalisation (``normalize_cam_dict.py:7-53``, including
+    its 1.1 diagonal margin). Operates on the cam_dict W2C entries."""
+    centers = []
+    for v in cam_dict.values():
+        W2C = np.asarray(v["W2C"], float).reshape(4, 4)
+        centers.append(np.linalg.inv(W2C)[:3, 3])
+    centers = np.stack(centers)
+    center = centers.mean(axis=0)
+    radius = np.linalg.norm(centers - center, axis=1).max() * 1.1
+    translate = -center
+    scale = target_radius / radius
+
+    out = {}
+    for name, v in cam_dict.items():
+        W2C = np.asarray(v["W2C"], float).reshape(4, 4)
+        C2W = np.linalg.inv(W2C)
+        C2W[:3, 3] = (C2W[:3, 3] + translate) * scale
+        out[name] = dict(v, W2C=np.linalg.inv(C2W).reshape(-1).tolist())
+    return out
+
+
+def write_nerfpp_split(cam_dict: dict, out_dir: str, split: str = "train",
+                       image_src_dir: str | None = None) -> str:
+    """cam_dict -> the NeRF++ on-disk split layout our loader (and the
+    reference's ``data_loader_split.py``) reads: per image
+    ``{split}/intrinsics/<name>.txt`` (16 K floats) and
+    ``{split}/pose/<name>.txt`` (16 c2w floats), plus ``rgb/`` copies when
+    ``image_src_dir`` is given. Completes the images -> COLMAP ->
+    extract -> normalize -> dataset pipeline end-to-end."""
+    import shutil
+
+    base = os.path.join(out_dir, split)
+    for sub in ("intrinsics", "pose") + (("rgb",) if image_src_dir else ()):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    for name in sorted(cam_dict):
+        v = cam_dict[name]
+        stem = os.path.splitext(name)[0]
+        K = np.asarray(v["K"], float)
+        c2w = np.linalg.inv(np.asarray(v["W2C"], float).reshape(4, 4))
+        with open(os.path.join(base, "intrinsics", stem + ".txt"), "w") as f:
+            f.write(" ".join(repr(float(x)) for x in K.reshape(-1)))
+        with open(os.path.join(base, "pose", stem + ".txt"), "w") as f:
+            f.write(" ".join(repr(float(x)) for x in c2w.reshape(-1)))
+        if image_src_dir:
+            shutil.copyfile(os.path.join(image_src_dir, name),
+                            os.path.join(base, "rgb", name))
+    return base

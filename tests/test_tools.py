@@ -383,3 +383,85 @@ class TestPosedColmapRunner:
             pytest.skip("colmap installed; gating test targets its absence")
         with pytest.raises(RuntimeError, match="colmap binary"):
             run_colmap_posed(str(tmp_path), {}, str(tmp_path / "out"))
+
+
+class TestNerfPPDatasetPrep:
+    """End-to-end COLMAP -> NeRF++ dataset pipeline (extract_sfm /
+    normalize_cam_dict / split-writer equivalents)."""
+
+    @staticmethod
+    def _write_sparse(d):
+        """Minimal binary COLMAP model (the format our readers parse)."""
+        import struct
+
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "cameras.bin"), "wb") as f:
+            f.write(struct.pack("<Q", 1))
+            # PINHOLE (model id 1): fx fy cx cy
+            f.write(struct.pack("<iiQQ", 1, 1, 64, 48))
+            f.write(struct.pack("<4d", 50.0, 52.0, 32.0, 24.0))
+        with open(os.path.join(d, "images.bin"), "wb") as f:
+            f.write(struct.pack("<Q", 2))
+            for i, (q, t) in enumerate([
+                ((1.0, 0, 0, 0), (0.0, 0.0, 2.0)),
+                ((np.cos(0.05), 0, np.sin(0.05), 0), (0.3, 0.0, 2.1)),
+            ]):
+                f.write(struct.pack("<i", i + 1))
+                f.write(struct.pack("<4d", *q))
+                f.write(struct.pack("<3d", *t))
+                f.write(struct.pack("<i", 1))
+                f.write(f"im{i}.png".encode() + b"\x00")
+                f.write(struct.pack("<Q", 0))
+
+    def test_extract_normalize_write_load(self, tmp_path):
+        from scnerf_tpu.tools.colmap import (
+            extract_cam_dict,
+            normalize_cam_dict,
+            write_nerfpp_split,
+        )
+
+        sparse = str(tmp_path / "sparse")
+        self._write_sparse(sparse)
+        cd = extract_cam_dict(sparse)
+        assert set(cd) == {"im0.png", "im1.png"}
+        K = np.asarray(cd["im0.png"]["K"]).reshape(4, 4)
+        assert K[0, 0] == 50.0 and K[1, 1] == 52.0
+        assert cd["im0.png"]["img_size"] == [64, 48]
+
+        norm = normalize_cam_dict(cd, target_radius=1.0)
+        centers = np.stack([
+            np.linalg.inv(np.asarray(v["W2C"]).reshape(4, 4))[:3, 3]
+            for v in norm.values()
+        ])
+        # inside the unit sphere with the reference's 1.1 margin
+        assert np.linalg.norm(centers, axis=1).max() <= 1.0 / 1.1 + 1e-9
+        # rotations untouched
+        for name in cd:
+            R0 = np.asarray(cd[name]["W2C"]).reshape(4, 4)[:3, :3]
+            R1 = np.asarray(norm[name]["W2C"]).reshape(4, 4)[:3, :3]
+            np.testing.assert_allclose(R0, R1, atol=1e-12)
+
+        # write the split + images, then load through the real loader
+        import imageio.v2 as imageio
+
+        img_src = tmp_path / "images"
+        os.makedirs(img_src)
+        rng = np.random.RandomState(0)
+        for n in cd:
+            imageio.imwrite(str(img_src / n),
+                            (rng.rand(48, 64, 3) * 255).astype(np.uint8))
+        out = write_nerfpp_split(norm, str(tmp_path / "ds"), "train", str(img_src))
+        assert os.path.isdir(out)
+
+        from scnerf_tpu.data.nerfpp_split import (
+            check_cameras_in_unit_sphere,
+            load_nerfpp_split,
+        )
+
+        data = load_nerfpp_split(str(tmp_path / "ds"), "train")
+        assert data.poses.shape == (2, 4, 4)
+        check_cameras_in_unit_sphere(data.poses)  # must not raise
+        np.testing.assert_allclose(data.intrinsics[0][0, 0], 50.0)
+        # loader c2w == inverse of the normalised W2C
+        want = np.linalg.inv(np.asarray(norm["im0.png"]["W2C"]).reshape(4, 4))
+        np.testing.assert_allclose(data.poses[0], want, atol=1e-6)
