@@ -277,7 +277,8 @@ def run_nerfpp_training(cfg: ExperimentConfig, expdir: str, n_steps: int | None 
 
 
 def render_nerfpp_image(exp: NerfPPExperiment, img_idx: int | None = None,
-                        c2w=None, K=None, key=None, resolution_level: int = 1):
+                        c2w=None, K=None, key=None, resolution_level: int = 1,
+                        hw: tuple | None = None):
     """Full-image NeRF++ render (H, W) maps.
 
     With the camera model, rays come from the learned parameters at
@@ -301,7 +302,8 @@ def render_nerfpp_image(exp: NerfPPExperiment, img_idx: int | None = None,
         rays_o, rays_d = pixels_to_rays(camera, px, py, image_idx=img_idx)
     else:
         L = resolution_level
-        Hr, Wr = train.H // L, train.W // L
+        H0, W0 = hw if hw is not None else (train.H, train.W)
+        Hr, Wr = H0 // L, W0 // L
         px, py = full_image_pixels(Hr, Wr)
         from scnerf_tpu.camera.rays import rays_opencv
 
@@ -358,7 +360,8 @@ def evaluate_nerfpp(exp: NerfPPExperiment, max_views: int | None = 2,
             out = render_nerfpp_image(exp, img_idx=i)
         else:
             out = render_nerfpp_image(
-                exp, c2w=data.poses[i], K=data.intrinsics[i]
+                exp, c2w=data.poses[i], K=data.intrinsics[i],
+                hw=(data.H, data.W),
             )
         target = data.images[i]
         mse = float(img2mse(jnp.asarray(out["rgb"]), jnp.asarray(target)))

@@ -605,3 +605,52 @@ class TestNerfPPDeviceSampling:
         state, metrics = run_nerfpp_training(cfg, expdir, n_steps=6)
         assert int(state.step) == 6
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestNerfPPHeldOutResolution:
+    def test_eval_split_with_different_resolution(self, tmp_path):
+        """Held-out NeRF++ eval must render at the SPLIT's resolution, not
+        the train split's."""
+        import types
+
+        from tests.test_data import write_png
+
+        rng = np.random.RandomState(7)
+        root = tmp_path / "tat"
+        H = W = 16
+        for sub in ["rgb", "intrinsics", "pose"]:
+            os.makedirs(root / "train" / sub, exist_ok=True)
+        for i in range(2):
+            write_png(root / "train" / "rgb" / f"{i:05d}.png", rng.rand(H, W, 3))
+            K = np.eye(4); K[0, 0] = K[1, 1] = 14.0
+            K[0, 2], K[1, 2] = W / 2, H / 2
+            (root / "train" / "intrinsics" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, K.reshape(-1))))
+            pose = np.eye(4); pose[:3, 3] = [0.05 * i, 0.0, -0.3]
+            (root / "train" / "pose" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, pose.reshape(-1))))
+        flags = {
+            "dataset_type": "nerfpp", "datadir": str(root), "N_rand": 16,
+            "cascade_samples": "4,4", "cascade_level": 2, "netdepth": 2,
+            "netwidth": 16, "max_freq_log2": 2, "max_freq_log2_viewdirs": 2,
+            "camera_model": "none", "expname": "hr",
+            "basedir": str(tmp_path / "logs"),
+        }
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.nerfpp_driver import build_nerfpp_experiment, evaluate_nerfpp
+
+        exp = build_nerfpp_experiment(
+            experiment_from_flags(flags, warn=lambda *a: None), None)
+        He, We = 24, 20  # different eval resolution
+        Ke = np.eye(4); Ke[0, 0] = Ke[1, 1] = 18.0
+        Ke[0, 2], Ke[1, 2] = We / 2, He / 2
+        pose = np.eye(4); pose[:3, 3] = [0.02, 0.0, -0.3]
+        eval_data = types.SimpleNamespace(
+            poses=np.stack([pose]).astype(np.float32),
+            intrinsics=np.stack([Ke]).astype(np.float32),
+            images=rng.rand(1, He, We, 3).astype(np.float32),
+            H=He, W=We,
+        )
+        res = evaluate_nerfpp(exp, max_views=1, data=eval_data)
+        assert res["split"] == "heldout" and res["n_views"] == 1
+        assert np.isfinite(res["psnr"])
