@@ -208,8 +208,7 @@ def extract_cam_dict(sparse_dir: str) -> dict:
     """COLMAP sparse model -> NeRF++ cam_dict (the ``kai_cameras.json``
     schema of ``colmap_runner/extract_sfm.py:48-84``): per image name,
     ``{"K": 16 floats, "W2C": 16 floats, "img_size": [w, h]}``."""
-    cams = read_cameras_bin(os.path.join(sparse_dir, "cameras.bin"))
-    imgs = read_images_bin(os.path.join(sparse_dir, "images.bin"))
+    cams, imgs = read_sparse_model(sparse_dir)
     out = {}
     for img in imgs.values():
         K = _camera_K(cams[img.camera_id])
@@ -273,3 +272,54 @@ def write_nerfpp_split(cam_dict: dict, out_dir: str, split: str = "train",
             shutil.copyfile(os.path.join(image_src_dir, name),
                             os.path.join(base, "rgb", name))
     return base
+
+
+def read_cameras_txt(path: str) -> dict[int, ColmapCamera]:
+    """COLMAP text-model cameras.txt (``read_write_model.py`` role; some
+    distributed datasets ship text models only)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cam_id, model = int(parts[0]), parts[1]
+            w, h = int(parts[2]), int(parts[3])
+            params = np.array([float(x) for x in parts[4:]])
+            out[cam_id] = ColmapCamera(cam_id, model, w, h, params)
+    return out
+
+
+def read_images_txt(path: str) -> dict[int, ColmapImage]:
+    """COLMAP text-model images.txt: two lines per image (header + 2D
+    points; points may be empty)."""
+    out = {}
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
+    for i in range(0, len(lines), 2):
+        parts = lines[i].split()
+        img_id = int(parts[0])
+        qvec = np.array([float(x) for x in parts[1:5]])
+        tvec = np.array([float(x) for x in parts[5:8]])
+        cam_id = int(parts[8])
+        name = parts[9]
+        xys = np.zeros((0, 2))
+        ids = np.zeros((0,), np.int64)
+        if i + 1 < len(lines):
+            pts = lines[i + 1].split()
+            if len(pts) >= 3:
+                arr = np.array([float(x) for x in pts]).reshape(-1, 3)
+                xys = arr[:, :2]
+                ids = arr[:, 2].astype(np.int64)
+        out[img_id] = ColmapImage(img_id, qvec, tvec, cam_id, name, xys, ids)
+    return out
+
+
+def read_sparse_model(sparse_dir: str):
+    """(cameras, images) from a sparse model dir, binary or text."""
+    if os.path.exists(os.path.join(sparse_dir, "cameras.bin")):
+        return (read_cameras_bin(os.path.join(sparse_dir, "cameras.bin")),
+                read_images_bin(os.path.join(sparse_dir, "images.bin")))
+    return (read_cameras_txt(os.path.join(sparse_dir, "cameras.txt")),
+            read_images_txt(os.path.join(sparse_dir, "images.txt")))

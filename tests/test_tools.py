@@ -465,3 +465,35 @@ class TestNerfPPDatasetPrep:
         # loader c2w == inverse of the normalised W2C
         want = np.linalg.inv(np.asarray(norm["im0.png"]["W2C"]).reshape(4, 4))
         np.testing.assert_allclose(data.poses[0], want, atol=1e-6)
+
+
+class TestColmapTextModel:
+    def test_text_model_roundtrip_via_posed_writer(self, tmp_path):
+        """write_posed_init_model emits the COLMAP text-model format; the
+        text readers + extract_cam_dict must consume it back exactly."""
+        from scnerf_tpu.tools.colmap import extract_cam_dict, read_sparse_model
+        from scnerf_tpu.tools.colmap_runner import (
+            rotation_to_quaternion,
+            write_posed_init_model,
+        )
+
+        rng = np.random.RandomState(3)
+        q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        qw, qx, qy, qz = rotation_to_quaternion(q)
+        t = [0.5, -0.2, 1.4]
+        pinhole = {"a.png": [64, 48, 50.0, 52.0, 32.0, 24.0,
+                             float(qw), float(qx), float(qy), float(qz), *t]}
+        write_posed_init_model(pinhole, {"a.png": 3}, str(tmp_path))
+
+        cams, imgs = read_sparse_model(str(tmp_path))
+        assert cams[3].model == "PINHOLE" and cams[3].width == 64
+        np.testing.assert_allclose(cams[3].params, [50.0, 52.0, 32.0, 24.0])
+        np.testing.assert_allclose(imgs[3].qvec, [qw, qx, qy, qz], atol=1e-12)
+        np.testing.assert_allclose(imgs[3].tvec, t)
+
+        cd = extract_cam_dict(str(tmp_path))
+        W2C = np.asarray(cd["a.png"]["W2C"]).reshape(4, 4)
+        np.testing.assert_allclose(W2C[:3, :3], q, atol=1e-7)
+        np.testing.assert_allclose(W2C[:3, 3], t)
