@@ -86,6 +86,26 @@ def main():
     render_dt = (time.perf_counter() - t0) / 3
     render_rays = n_render / render_dt
 
+    # Production-driver path: sampling fused into the compiled step
+    # (device PRNG + gathers; the host loop is just step(state, key)).
+    from scnerf_tpu.train.device_sampling import make_device_sampling_step
+
+    step_ds = make_device_sampling_step(
+        make_train_step(model_cfg, render_cfg, train_cfg, Curriculum(), tx,
+                        donate=False),
+        jnp.asarray(np.random.RandomState(1).rand(8, 756, 1008, 3),
+                    jnp.float32),
+        N_RAND,
+    )
+    state_ds = create_train_state(_flagship()[2], tx)
+    state_ds, _ = step_ds(state_ds, key)
+    jax.block_until_ready(state_ds.params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state_ds, _ = step_ds(state_ds, jax.random.fold_in(key, i))
+    jax.block_until_ready(state_ds.params)
+    ds_rays = N_RAND * iters / (time.perf_counter() - t0)
+
     # NeRF++ (config-4 workload: T&T fg/bg cascade) throughput, best-effort.
     nerfpp_rays = None
     try:
@@ -97,6 +117,7 @@ def main():
     value = train_rays
     extras = {
         "render_rays_per_sec": round(render_rays, 1),
+        "device_sampled_train_rays_per_sec": round(ds_rays, 1),
         "train_step_ms": round(train_dt * 1e3, 2),
         "baseline_v100_rays_per_sec": V100_RAYS_PER_SEC,
         "target_vs_baseline": 2.0,
