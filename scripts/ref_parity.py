@@ -91,6 +91,33 @@ def build_scene(scene_dir: str) -> None:
     )
 
 
+def build_blender_scene(scene_dir: str) -> None:
+    """Blender layout: transforms_{train,val,test}.json + RGBA pngs.
+    One train image (deterministic image pick), alpha gradient so the
+    white-background compositing path is genuinely exercised."""
+    import imageio.v2 as imageio
+
+    from scnerf_tpu.data.blender import pose_spherical
+
+    os.makedirs(scene_dir, exist_ok=True)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    for split, angles in [("train", [30.0]), ("val", [80.0]), ("test", [130.0])]:
+        os.makedirs(os.path.join(scene_dir, split), exist_ok=True)
+        frames = []
+        for i, ang in enumerate(angles):
+            pose = np.array(pose_spherical(ang, -30.0, 4.0))
+            rgb = scene_image(i)
+            alpha = np.clip(
+                255.0 * (0.5 + 0.5 * np.sin(2 * np.pi * (xx / W - yy / H))), 0, 255
+            ).astype(np.uint8)
+            rgba = np.concatenate([rgb, alpha[..., None]], axis=-1)
+            imageio.imwrite(os.path.join(scene_dir, split, f"r_{i}.png"), rgba)
+            frames.append({"file_path": f"./{split}/r_{i}",
+                           "transform_matrix": pose.tolist()})
+        json.dump({"camera_angle_x": 0.69, "frames": frames},
+                  open(os.path.join(scene_dir, f"transforms_{split}.json"), "w"))
+
+
 def make_init_params():
     import jax
 
@@ -170,15 +197,21 @@ def reference_sift_matches(img0: np.ndarray, img1: np.ndarray):
 
 
 def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
-                  camera: bool = False, ndc: bool = False, prd: bool = False):
+                  camera: bool = False, ndc: bool = False, prd: bool = False,
+                  blender: bool = False):
     """Run the real reference trainer in a subprocess; returns (mse (n,2)
     fine/coarse, final coarse+fine[+camera] params in OUR layout)."""
     out_npz = os.path.join(workdir, "ref_out.npz")
+    if blender:
+        ds_flags = ["--dataset_type", "blender", "--testskip", "1",
+                    "--white_bkgd", "--no_ndc"]
+    else:
+        ds_flags = (["--dataset_type", "llff", "--factor", "1",
+                     "--llffhold", "8"] + ([] if ndc else ["--no_ndc"]))
     flags = [
         "--expname", "parity", "--basedir", workdir, "--datadir", scene_dir,
-        "--dataset_type", "llff", "--factor", "1", "--llffhold", "8",
         "--no_batching", "--use_viewdirs",
-    ] + ([] if ndc else ["--no_ndc"]) + [
+    ] + ds_flags + [
         "--netdepth", str(MLP["depth"]), "--netwidth", str(MLP["width"]),
         "--netdepth_fine", str(MLP["depth"]), "--netwidth_fine", str(MLP["width"]),
         "--multires", str(MLP["multires"]),
@@ -237,7 +270,8 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
 
 
 def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
-             camera: bool = False, ndc: bool = False, prd: bool = False):
+             camera: bool = False, ndc: bool = False, prd: bool = False,
+             blender: bool = False):
     """Run our trainer on the identical workload; returns (loss, psnr,
     final params). ``loss`` is the PHOTOMETRIC part (fine + coarse mse),
     matching what the reference-side tap records."""
@@ -250,6 +284,8 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
     from scnerf_tpu.train.optim import make_optimizer
     from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
 
+    if blender:
+        return _run_ours_blender(scene_dir, n_steps, model_cfg, init_params)
     d = load_llff(scene_dir, factor=1, llffhold=8)
     if prd:
         return _run_ours_prd(d, n_steps, model_cfg, init_params)
@@ -313,6 +349,54 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
         model_cfg, render_cfg, train_cfg, Curriculum(), tx, with_prd=False,
         donate=False,
     )
+    losses, psnrs = [], []
+    key = jax.random.key(0)
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+        psnrs.append(float(metrics["psnr"]))
+    return np.asarray(losses), np.asarray(psnrs), state.params
+
+
+def _run_ours_blender(scene_dir: str, n_steps: int, model_cfg, init_params):
+    """Blender-pipeline workload: white-background compositing, near/far
+    2/6 (run_nerf.py:151-170), single train image."""
+    import jax
+    import jax.numpy as jnp
+
+    from scnerf_tpu.camera.rays import rays_no_camera
+    from scnerf_tpu.data.blender import load_blender
+    from scnerf_tpu.render.renderer import RenderConfig
+    from scnerf_tpu.train.curriculum import Curriculum
+    from scnerf_tpu.train.optim import make_optimizer
+    from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
+
+    d = load_blender(scene_dir, half_res=False, testskip=1)
+    i_train = d.i_split[0]
+    (train_idx,) = [int(i) for i in i_train]
+    images = d.images[..., :3] * d.images[..., 3:] + (1.0 - d.images[..., 3:])
+
+    idx = np.arange(H * W)
+    px, py = (idx % W).astype(np.float32), (idx // W).astype(np.float32)
+    rays_o, rays_d = rays_no_camera(
+        H, W, d.noisy_focal, jnp.asarray(d.noisy_poses[train_idx, :3, :4]), px, py
+    )
+    batch = {
+        "rays_o": rays_o,
+        "rays_d": rays_d,
+        "target": jnp.asarray(images[train_idx].reshape(-1, 3), jnp.float32),
+    }
+    render_cfg = RenderConfig(
+        n_samples=SAMPLES["n_samples"], n_importance=SAMPLES["n_importance"],
+        perturb=False, raw_noise_std=0.0, use_viewdirs=True, white_bkgd=True,
+    )
+    train_cfg = TrainConfig(lr_init=LR, lr_decay_steps=LR_DECAY * 1000,
+                            near=2.0, far=6.0, use_ndc=False)
+    params = dict(init_params)
+    tx = make_optimizer(LR, LR_DECAY * 1000, params_example=params)
+    state = create_train_state(params, tx)
+    step = make_train_step(model_cfg, render_cfg, train_cfg, Curriculum(), tx,
+                           with_prd=False, donate=False)
     losses, psnrs = [], []
     key = jax.random.key(0)
     for i in range(n_steps):
@@ -454,7 +538,8 @@ def tree_max_diff(a, b) -> float:
 
 
 def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = None,
-         camera: bool = False, ndc: bool = False, prd: bool = False):
+         camera: bool = False, ndc: bool = False, prd: bool = False,
+         blender: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -465,20 +550,22 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         N_IMAGES, TEXTURE = 3, True  # 2 train images -> 1 feasible pair
     workdir = workdir or tempfile.mkdtemp(prefix="ref_parity_")
     scene = os.path.join(workdir, "scene")
-    build_scene(scene)
+    (build_blender_scene if blender else build_scene)(scene)
     model_cfg, init_params = make_init_params()
     init_tar = os.path.join(workdir, "init.tar")
     write_init_ckpt(init_params, init_tar)
 
-    print(f"[ref_parity] scene={scene} steps={n_steps} camera={camera} ndc={ndc}")
+    print(f"[ref_parity] scene={scene} steps={n_steps} camera={camera} "
+          f"ndc={ndc} prd={prd} blender={blender}")
     ref_mse, ref_final = run_reference(scene, n_steps, init_tar, workdir,
-                                       camera=camera, ndc=ndc, prd=prd)
+                                       camera=camera, ndc=ndc, prd=prd,
+                                       blender=blender)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
 
     our_loss, our_psnr, our_final = run_ours(scene, n_steps, model_cfg,
                                              init_params, camera=camera, ndc=ndc,
-                                             prd=prd)
+                                             prd=prd, blender=blender)
 
     rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
     w_diff = {
@@ -496,6 +583,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         "camera_model": bool(camera),
         "ndc": bool(ndc),
         "prd": bool(prd),
+        "blender": bool(blender),
         "n_steps": n_steps,
         "loss_rel_diff": {
             "step0": float(rel[0]),
@@ -530,5 +618,8 @@ if __name__ == "__main__":
                     help="NDC-space run (the reference's LLFF default)")
     ap.add_argument("--prd", action="store_true",
                     help="flagship regime: camera + projected-ray-distance loss")
+    ap.add_argument("--blender", action="store_true",
+                    help="blender pipeline (white background, near/far 2/6)")
     a = ap.parse_args()
-    main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc, prd=a.prd)
+    main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc, prd=a.prd,
+         blender=a.blender)

@@ -162,3 +162,33 @@ class TestPrdTrajectoryParity:
 
     def test_final_psnr_close(self, prd_parity_report):
         assert prd_parity_report["psnr_final"]["abs_diff_db"] < 0.15
+
+
+@pytest.fixture(scope="module")
+def blender_parity_report(tmp_path_factory):
+    """Blender-pipeline parity: white-background compositing, near/far 2/6."""
+    if not os.path.exists(REF):
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("torch")
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from scripts.ref_parity import main
+
+    workdir = str(tmp_path_factory.mktemp("ref_parity_blender"))
+    report = main(n_steps=25, out_json=None, workdir=workdir, blender=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return report
+
+
+class TestBlenderTrajectoryParity:
+    def test_step0_loss_matches(self, blender_parity_report):
+        assert blender_parity_report["loss_rel_diff"]["step0"] < 1e-4
+
+    def test_trajectory_tracks(self, blender_parity_report):
+        assert blender_parity_report["loss_rel_diff"]["max"] < 5e-2
+
+    def test_final_psnr_close(self, blender_parity_report):
+        assert blender_parity_report["psnr_final"]["abs_diff_db"] < 0.1
