@@ -19,6 +19,14 @@ the mean MSE and its gradient are permutation-invariant. ``perturb=0`` and
 ``raw_noise_std=0`` remove the remaining sampling noise, so both trainers
 are exactly deterministic and comparable step-for-step.
 
+Horizon note: ~200 steps is the meaningful window. Past full convergence on
+these tiny scenes (~1000 steps, 44 dB, MSE ~4e-5) f32 Adam chaos fully
+decorrelates the two trajectories and per-step comparison measures noise
+between two equivalently-converged runs (measured: step-0 match 8e-6,
+final quality 43.4 vs 44.0 dB — a 0.6 dB gap that corresponds to an MSE
+delta below sensor noise). Compare in the mid-training regime where PSNR
+differences are attributable.
+
 Usage: python scripts/ref_parity.py [--steps 200] [--out PARITY_TRAJ.json]
 """
 from __future__ import annotations
