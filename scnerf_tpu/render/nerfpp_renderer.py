@@ -45,6 +45,7 @@ def render_rays_nerfpp(
     ray_d: jnp.ndarray,
     min_depth: jnp.ndarray,
     key,
+    rands=None,
 ):
     """Run all cascade levels; returns the list of per-level outputs.
 
@@ -52,6 +53,12 @@ def render_rays_nerfpp(
       level_params: one fg/bg param dict per cascade level.
       ray_o, ray_d: ``(N, 3)``.
       min_depth: ``(N,)`` fg near depths (1e-4 default in the reference).
+      rands: optional externally-supplied uniforms replacing every random
+        draw (trajectory replay of the torch reference's RNG): a sequence
+        with one ``(fg, bg)`` pair per cascade level — perturb ``t_rand``
+        arrays ``(N, n_samp)`` for level 0, inverse-CDF ``u`` arrays for
+        later levels. Ignores ``key`` and ``render_cfg.perturb`` gating for
+        the draws it covers.
     """
     n = ray_o.shape[0]
     fg_far = intersect_sphere(ray_o, ray_d)  # (N,)
@@ -60,32 +67,35 @@ def render_rays_nerfpp(
     ret = None
     for m, n_samp in enumerate(render_cfg.cascade_samples):
         k_fg, k_bg, key = jax.random.split(jax.random.fold_in(key, m), 3)
+        r_fg, r_bg = rands[m] if rands is not None else (None, None)
         if m == 0:
             t = jnp.linspace(0.0, 1.0, n_samp)
             fg_depth = min_depth[..., None] * (1.0 - t) + fg_far[..., None] * t
             bg_depth = jnp.broadcast_to(t, (n, n_samp))
-            if render_cfg.perturb:
-                fg_depth = perturb_z_vals(k_fg, fg_depth)
-                bg_depth = perturb_z_vals(k_bg, bg_depth)
+            if render_cfg.perturb or r_fg is not None:
+                fg_depth = perturb_z_vals(k_fg, fg_depth, t_rand=r_fg)
+                bg_depth = perturb_z_vals(k_bg, bg_depth, t_rand=r_bg)
         else:
-            if render_cfg.pdf_impl == "pallas_stopgrad" and jax.default_backend() == "tpu":
+            if (render_cfg.pdf_impl == "pallas_stopgrad" and rands is None
+                    and jax.default_backend() == "tpu"):
                 from scnerf_tpu.kernels.pdf_pallas import sample_pdf_pallas
 
-                def _pdf(k, bins, w, n, det):
+                def _pdf(k, bins, w, n, det, u):
                     return sample_pdf_pallas(
                         k, jax.lax.stop_gradient(bins), w, n, det=det
                     )
             else:
-                def _pdf(k, bins, w, n, det):
-                    return sample_pdf(k, bins, w, n, det=det)
+                def _pdf(k, bins, w, n, det, u):
+                    return sample_pdf(k, bins, w, n, det=det, u=u,
+                                      variant="nerfpp")
             fg_w = jax.lax.stop_gradient(ret["fg_weights"])[..., 1:-1]
             fg_mid = 0.5 * (fg_depth[..., 1:] + fg_depth[..., :-1])
-            fg_new = _pdf(k_fg, fg_mid, fg_w, n_samp, not render_cfg.perturb)
+            fg_new = _pdf(k_fg, fg_mid, fg_w, n_samp, not render_cfg.perturb, r_fg)
             fg_depth = jnp.sort(jnp.concatenate([fg_depth, fg_new], axis=-1), axis=-1)
 
             bg_w = jax.lax.stop_gradient(ret["bg_weights"])[..., 1:-1]
             bg_mid = 0.5 * (bg_depth[..., 1:] + bg_depth[..., :-1])
-            bg_new = _pdf(k_bg, bg_mid, bg_w, n_samp, not render_cfg.perturb)
+            bg_new = _pdf(k_bg, bg_mid, bg_w, n_samp, not render_cfg.perturb, r_bg)
             bg_depth = jnp.sort(jnp.concatenate([bg_depth, bg_new], axis=-1), axis=-1)
 
         ret = nerfpp_forward(

@@ -22,35 +22,55 @@ def sample_pdf(
     weights: jnp.ndarray,
     n_samples: int,
     det: bool = False,
+    u: jnp.ndarray | None = None,
+    variant: str = "nerf",
 ) -> jnp.ndarray:
     """Draw ``n_samples`` depths per ray from the piecewise-constant PDF
     defined by ``weights`` over ``bins``.
 
     Args:
-      key: PRNG key (ignored when ``det``).
+      key: PRNG key (ignored when ``det`` or ``u`` is given).
       bins: ``(N, B)`` bin edges (midpoints of coarse z-vals).
       weights: ``(N, B-1)`` unnormalized interval weights.
       n_samples: static count of new samples.
       det: deterministic (evenly spaced u) instead of uniform random.
+      u: optional externally-supplied ``(N, n_samples)`` uniforms (trajectory
+        replay of the torch reference's RNG); overrides ``key``/``det``.
+      variant: ``"nerf"`` reproduces ``NeRF/render.py:417-460`` (eps 1e-5 on
+        weights and the denom guard); ``"nerfpp"`` reproduces the NeRF++
+        ``sample_pdf`` (``nerfplusplus/ddp_train_nerf.py:83-132``): eps
+        ``TINY_NUMBER = 1e-6`` on weights and the denom guard, and the bin
+        width in the final lerp widened by the same TINY.
     Returns:
       ``(N, n_samples)`` sample depths. NOT gradient-stopped; callers that
       want the reference's ``.detach()`` behavior apply
       ``jax.lax.stop_gradient`` (``render.py:274``).
     """
-    weights = weights + 1e-5  # prevent NaNs (render.py:419)
+    eps = 1e-6 if variant == "nerfpp" else 1e-5
+    weights = weights + eps  # prevent NaNs (render.py:419 / TINY_NUMBER)
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (N, B)
 
-    if det:
-        u = jnp.linspace(0.0, 1.0, n_samples)
-        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
-    else:
-        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+    if u is None:
+        if det:
+            u = jnp.linspace(0.0, 1.0, n_samples)
+            u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+        else:
+            u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
-    inds = searchsorted(cdf, u, side="right")
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    if variant == "nerfpp":
+        # ddp_train_nerf.py:114-116: above = sum(u >= cdf[..., :M]) over only
+        # the first M entries -> above in [1, M], below = above - 1. Differs
+        # from the NeRF indexing exactly when u >= cdf[..., -1] (possible
+        # when the f32 cumsum tops out below the drawn u).
+        above = searchsorted(cdf[..., :-1], u, side="right")
+        above = jnp.maximum(above, 1)  # cdf[..., 0] == 0 <= u guarantees >= 1
+        below = above - 1
+    else:
+        inds = searchsorted(cdf, u, side="right")
+        below = jnp.maximum(inds - 1, 0)
+        above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
     cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
     cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
@@ -58,6 +78,9 @@ def sample_pdf(
     bins_above = jnp.take_along_axis(bins, above, axis=-1)
 
     denom = cdf_above - cdf_below
-    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
     t = (u - cdf_below) / denom
-    return bins_below + t * (bins_above - bins_below)
+    width = bins_above - bins_below
+    if variant == "nerfpp":
+        width = width + eps  # ddp_train_nerf.py:130
+    return bins_below + t * width

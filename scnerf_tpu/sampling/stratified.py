@@ -43,11 +43,17 @@ def stratified_z_vals(
     return z
 
 
-def perturb_z_vals(key, z_vals: jnp.ndarray) -> jnp.ndarray:
+def perturb_z_vals(key, z_vals: jnp.ndarray, t_rand=None) -> jnp.ndarray:
     """Jitter each depth uniformly within its surrounding interval
-    (``render.py:243-257``)."""
+    (``render.py:243-257``).
+
+    ``t_rand``: optional externally-supplied uniforms of ``z_vals.shape``
+    (used by the trajectory-parity harness to replay the torch reference's
+    RNG draws bit-for-bit); when given, ``key`` is ignored.
+    """
     mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
     lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
-    t_rand = jax.random.uniform(key, z_vals.shape)
+    if t_rand is None:
+        t_rand = jax.random.uniform(key, z_vals.shape)
     return lower + (upper - lower) * t_rand

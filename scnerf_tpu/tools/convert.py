@@ -107,6 +107,36 @@ def params_to_torch_nerf(params: dict, prefix: str = "module.") -> dict:
     return out
 
 
+def params_to_torch_mlpnet(params: dict, prefix: str = "") -> dict:
+    """Our NeRF++ MLPNet pytree -> reference state dict of numpy arrays
+    (inverse of :func:`torch_mlpnet_to_params`)."""
+    out = {}
+
+    def put(name, leaf):
+        out[f"{prefix}{name}.weight"] = np.ascontiguousarray(np.asarray(leaf["w"]).T)
+        out[f"{prefix}{name}.bias"] = np.asarray(leaf["b"])
+
+    for i, layer in enumerate(params["base"]):
+        put(f"base_layers.{i}.0", layer)
+    put("sigma_layers.0", params["sigma"])
+    put("base_remap_layers.0", params["remap"])
+    put("rgb_layers.0", params["rgb0"])
+    put("rgb_layers.2", params["rgb1"])
+    return out
+
+
+def params_to_torch_nerfnet(params: dict,
+                            prefix: str = "module.nerf_net.") -> dict:
+    """Our fg/bg NeRF++ level pytree -> reference ``NerfNetWithAutoExpo``
+    state dict (``ddp_model.py:157-188``; DDP wrapping adds the leading
+    ``module.``). Used by the NeRF++ trajectory-parity harness to start the
+    reference trainer from OUR initial weights."""
+    out = {}
+    out.update(params_to_torch_mlpnet(params["fg"], prefix=f"{prefix}fg_net."))
+    out.update(params_to_torch_mlpnet(params["bg"], prefix=f"{prefix}bg_net."))
+    return out
+
+
 def camera_fields_to_torch(camera) -> dict:
     """Our ``Camera`` pytree -> reference camera-model state dict (numpy).
 
