@@ -219,8 +219,14 @@ def nerfpp_sample_batch(exp: NerfPPExperiment) -> dict:
     return batch
 
 
-def run_nerfpp_training(cfg: ExperimentConfig, expdir: str, n_steps: int | None = None):
-    exp = build_nerfpp_experiment(cfg, expdir)
+def run_nerfpp_training(cfg: ExperimentConfig, expdir: str,
+                        n_steps: int | None = None,
+                        exp: NerfPPExperiment | None = None):
+    """Production host loop. ``exp`` lets a caller pass a prebuilt
+    experiment (and keep it for continuation — its ``state`` field tracks
+    the loop); built from ``cfg`` when omitted."""
+    if exp is None:
+        exp = build_nerfpp_experiment(cfg, expdir)
     n_steps = n_steps if n_steps is not None else cfg.optim.N_iters
     key = jax.random.key(cfg.logging.seed + 1)
     ckpt_dir = os.path.join(expdir, "ckpts")
@@ -409,13 +415,19 @@ def evaluate_nerfpp_prd(exp: NerfPPExperiment) -> dict:
         cache = build_match_cache(train.images, pair_list, SIFTMatcher())
         exp.pair_list, exp.match_cache = pair_list, cache
 
+    # Reference eval rays are cast at the TRUNCATED keypoint pixel
+    # (ddp_test_nerf.py:61-63: float kps -> .long() flat index; the +0.5
+    # center comes from ray gen itself). Loss targets stay the raw float
+    # kps — the reference's eval does NOT add the +0.5 its train loop adds.
     if camera is not None:
         def rays_eval(kps, idx):
+            kps = jnp.floor(kps)
             return pixels_to_rays(camera, kps[:, 0], kps[:, 1], image_idx=idx)
     else:
         Kinv = K_inverse_3x3(jnp.asarray(K))
 
         def rays_eval(kps, idx):
+            kps = jnp.floor(kps)
             pix = jnp.stack(
                 [kps[:, 0] + 0.5, kps[:, 1] + 0.5, jnp.ones_like(kps[:, 0])], -1
             )

@@ -54,8 +54,9 @@ def make_nerfpp_train_step(
 
     ``batch`` keys: either precomputed ``rays_o``/``rays_d`` or pixel requests
     ``px``/``py`` + scalar ``img_idx``; ``target`` ``(N, 3)``; ``min_depth``
-    ``(N,)``; optional ``mask``; with PRD: ``kps0``/``kps1``/``kp_mask``/
-    ``pair_idx``.
+    ``(N,)``; optional ``mask``; optional ``rands`` (per-level uniform
+    overrides for RNG replay, see ``render_rays_nerfpp``); with PRD:
+    ``kps0``/``kps1``/``kp_mask``/``pair_idx``.
     """
 
     def loss_fn(params, batch, key, step):
@@ -69,6 +70,7 @@ def make_nerfpp_train_step(
         outs = render_rays_nerfpp(
             params["levels"], model_cfg, render_cfg,
             rays_o, rays_d, batch["min_depth"], key,
+            rands=batch.get("rands"),
         )
         target = batch["target"]
         mask = batch.get("mask")
@@ -97,8 +99,17 @@ def make_nerfpp_train_step(
         if with_prd:
             assert camera is not None
             i0, i1 = batch["pair_idx"][0], batch["pair_idx"][1]
-            r0 = pixels_to_rays(camera, batch["kps0"][:, 0], batch["kps0"][:, 1], image_idx=i0)
-            r1 = pixels_to_rays(camera, batch["kps1"][:, 0], batch["kps1"][:, 1], image_idx=i1)
+            # Reference kps handling (ddp_train_nerf.py:524-529): rays are
+            # cast at the TRUNCATED pixel (float kps -> .long() flat index,
+            # +0.5 center added inside ray gen / our OPENCV pixel_offset),
+            # while the loss targets are the float kps + 0.5. We floor each
+            # coordinate; the reference floors the flattened y*W + x, which
+            # is equivalent for the integer-valued SuperGlue keypoints it
+            # always uses and nonsensical for subpixel float kps.
+            kps0 = jnp.floor(batch["kps0"])
+            kps1 = jnp.floor(batch["kps1"])
+            r0 = pixels_to_rays(camera, kps0[:, 0], kps0[:, 1], image_idx=i0)
+            r1 = pixels_to_rays(camera, kps1[:, 0], kps1[:, 1], image_idx=i1)
             use_undistort = (
                 train_cfg.prd_undistort and camera.config.use_distortion
             )
@@ -110,7 +121,7 @@ def make_nerfpp_train_step(
             else:
                 dist_k, image_wh = None, None
             prd, n_match = prd_loss(
-                batch["kps0"], batch["kps1"], r0, r1,
+                batch["kps0"] + 0.5, batch["kps1"] + 0.5, r0, r1,
                 get_intrinsic(camera), get_extrinsic(camera, jnp.stack([i0, i1])),
                 mask=batch.get("kp_mask"),
                 threshold=train_cfg.prd_threshold,
