@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -81,7 +82,7 @@ class ModelConfig:
     cascade_level: int = 2
     cascade_samples: tuple = (64, 64)
     autoexpo: bool = False
-    lambda_autoexpo: float = 1e-2
+    lambda_autoexpo: float = 1.0  # reference default (config_argparser.py:48)
     compute_dtype: str = "float32"
 
 
@@ -95,7 +96,9 @@ class SamplingConfig:
     chunk: int = 8192
     precrop_iters: int = 0
     precrop_frac: float = 0.5
-    use_batching: bool = False
+    # Reference default: batching ON (``no_batching`` is a store_true flag,
+    # config_argparse.py:38; blender configs opt out, LLFF configs do not).
+    use_batching: bool = True
     det: bool = False  # deterministic sampling at render (NeRF++ flag)
     # Sample pixel batches inside the compiled step (device PRNG + gather)
     # instead of per-step numpy — removes host-side work from the hot loop.
@@ -148,7 +151,9 @@ class OptimConfig:
     lrate: float = 5e-4
     lrate_decay: int = 250  # NeRF: decay steps in thousands
     lrate_decay_factor: float = 0.1
-    lrate_decay_steps: int = 750_000  # NeRF++ direct steps
+    lrate_decay_steps: int = 750_000  # NeRF++, DIRECT steps. The reference
+    # FLAG of the same name is in thousands (ddp_train_nerf.py:387
+    # multiplies by 1000); the txt-shim loader converts (_apply_special).
     use_custom_optim: bool = False
     non_linear_weight_decay: float = 0.0
     N_iters: int = 200_001
@@ -199,7 +204,6 @@ class ExperimentConfig:
 _ALIASES = {
     "chunk_size": ("sampling", "chunk"),
     "netchunk_per_gpu": ("sampling", "chunk"),
-    "scene": ("dataset", "datadir"),
     "max_freq_log2": ("model", "multires"),
     "max_freq_log2_viewdirs": ("model", "multires_views"),
     "alternate_frequency": ("camera", "i_ray_dist_loss"),
@@ -216,6 +220,11 @@ def _apply_special(cfg: "ExperimentConfig", k: str, v) -> bool:
         # NeRF++ bool flag; the camera model name may come from another line.
         if _truthy(v) and cfg.camera.camera_model == "none":
             cfg.camera.camera_model = "pinhole_rot_noise_10k_rayo_rayd"
+        return True
+    if k == "lrate_decay_steps":
+        # Reference flag is in THOUSANDS of steps (ddp_train_nerf.py:387:
+        # decay_steps = args.lrate_decay_steps * 1000); our field is direct.
+        cfg.optim.lrate_decay_steps = int(float(v)) * 1000
         return True
     return False
 
@@ -241,6 +250,10 @@ def experiment_from_flags(flags: dict, warn=print) -> ExperimentConfig:
             index.setdefault(f.name, (sname, f.name))
     index.update(_ALIASES)
 
+    # NeRF++ splits the data path across two flags; the loaders join them
+    # (``ddp_train_nerf.py:332``: load_data_split(args.datadir, args.scene)).
+    scene = flags.pop("scene", None)
+
     for k, v in flags.items():
         if k == "config":
             continue
@@ -259,6 +272,8 @@ def experiment_from_flags(flags: dict, warn=print) -> ExperimentConfig:
             setattr(obj, fname, v)
         else:
             warn(f"[config] ignoring unknown flag: {k} = {v}")
+    if scene:
+        cfg.dataset.datadir = os.path.join(cfg.dataset.datadir, str(scene))
     return cfg
 
 

@@ -125,15 +125,42 @@ def params_to_torch_mlpnet(params: dict, prefix: str = "") -> dict:
     return out
 
 
+def remap_autoexpo_name(img_path: str) -> str:
+    """The reference's autoexpo ParameterDict key for an image path
+    (``ddp_model.py:146-154``): dots -> dashes, keep the last three path
+    components."""
+    name = img_path.replace(".", "-")
+    if name.endswith("/"):
+        name = name[:-1]
+    idx = name.rfind("/")
+    for _ in range(2):
+        if idx >= 0:
+            idx = name[:idx].rfind("/")
+    return name[idx + 1:]
+
+
 def params_to_torch_nerfnet(params: dict,
-                            prefix: str = "module.nerf_net.") -> dict:
+                            prefix: str = "module.nerf_net.",
+                            ddp_prefix: str = "module.",
+                            img_paths: list | None = None) -> dict:
     """Our fg/bg NeRF++ level pytree -> reference ``NerfNetWithAutoExpo``
     state dict (``ddp_model.py:157-188``; DDP wrapping adds the leading
     ``module.``). Used by the NeRF++ trajectory-parity harness to start the
-    reference trainer from OUR initial weights."""
+    reference trainer from OUR initial weights.
+
+    When the level carries auto-exposure params (``(N, 2)`` indexed by
+    image id), pass the trainer's image paths (loader order) so the
+    name-keyed ``autoexpo_params.<remapped>`` entries can be emitted."""
     out = {}
     out.update(params_to_torch_mlpnet(params["fg"], prefix=f"{prefix}fg_net."))
     out.update(params_to_torch_mlpnet(params["bg"], prefix=f"{prefix}bg_net."))
+    if "autoexpo" in params:
+        assert img_paths is not None, "autoexpo conversion needs image paths"
+        ae = np.asarray(params["autoexpo"])
+        assert ae.shape[0] == len(img_paths), (ae.shape, len(img_paths))
+        for i, p in enumerate(img_paths):
+            key = f"{ddp_prefix}autoexpo_params.{remap_autoexpo_name(p)}"
+            out[key] = np.ascontiguousarray(ae[i])
     return out
 
 

@@ -32,7 +32,8 @@ class NerfPPTrainConfig:
     lr_decay_factor: float = static_field(default=0.1)
     weight_decay: float = static_field(default=0.0)
     autoexpo: bool = static_field(default=False)
-    lambda_autoexpo: float = static_field(default=1e-2)
+    # reference default (nerfplusplus/config_argparser.py:48)
+    lambda_autoexpo: float = static_field(default=1.0)
     prd_threshold: float = static_field(default=5.0)
     # Distortion-aware PRD: map projections through the inverse-distortion
     # lookup before comparing to keypoints (losses/prd.py docstring). The

@@ -20,11 +20,22 @@ import jax
 import optax
 
 
-def exp_decay_schedule(lr_init: float, decay_factor: float, decay_steps: float):
-    """``lr(step) = lr_init * decay_factor^(step / decay_steps)``."""
+def exp_decay_schedule(lr_init: float, decay_factor: float, decay_steps: float,
+                       lr_floor: float = 0.0):
+    """``lr(step) = max(lr_init * decay_factor^(step / decay_steps), floor)``.
+
+    The NeRF schedule has no floor (``run_nerf.py:617-619``); NeRF++ clamps
+    at 1% of the initial rate (``ddp_train_nerf.py:388-390``) — pass
+    ``lr_floor = 0.01 * lr_init`` there.
+    """
 
     def schedule(step):
-        return lr_init * (decay_factor ** (step / decay_steps))
+        lr = lr_init * (decay_factor ** (step / decay_steps))
+        if lr_floor > 0.0:
+            import jax.numpy as jnp
+
+            lr = jnp.maximum(lr, lr_floor)
+        return lr
 
     return schedule
 
@@ -89,6 +100,7 @@ def make_optimizer(
     eps: float = 1e-8,
     params_example: Any = None,
     grad_clip: float = 1e6,
+    lr_floor: float = 0.0,
 ) -> optax.GradientTransformation:
     """Adam + exp decay + masked L2-in-grad decay + frozen-initials zeroing.
 
@@ -96,7 +108,7 @@ def make_optimizer(
     is far above any healthy gradient; it only guards against pathological
     overflow poisoning Adam state.
     """
-    schedule = exp_decay_schedule(lr_init, decay_factor, decay_steps)
+    schedule = exp_decay_schedule(lr_init, decay_factor, decay_steps, lr_floor)
     chain = []
     if grad_clip > 0:
         chain.append(clip_grads_elementwise(grad_clip))

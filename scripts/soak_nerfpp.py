@@ -103,8 +103,9 @@ def main(n_steps: int, out_json: str | None, workdir: str | None):
             extra * cfg.sampling.N_rand / marginal_dt, 1),
         "final_metrics": final_metrics,
         "finite": bool(all(np.isfinite(v) for v in final_metrics.values())),
-        "heldout_eval": {k: float(v) for k, v in ev.items()
-                         if np.ndim(v) == 0},
+        "heldout_eval": {k: (float(v) if isinstance(v, (int, float, np.floating))
+                             or (hasattr(v, "ndim") and v.ndim == 0) else v)
+                         for k, v in ev.items()},
         "backend": jax.default_backend(),
     }
     print(json.dumps(report, indent=2))
