@@ -25,6 +25,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from scnerf_tpu.core.pytree import pytree_dataclass, static_field
@@ -56,6 +57,16 @@ class CameraConfig:
     distortion_noise_scale: float = static_field(default=1e-2)
     # Pixel-center offset added before K^-1 (0.0 for NeRF, 0.5 for NeRF++).
     pixel_offset: float = static_field(default=0.0)
+    # Replicate the reference DISTORTION variant's shared-storage quirk:
+    # ``...Distortion.__init__`` registers ``ray_o_noise`` and ``ray_d_noise``
+    # from the SAME zero tensor (``camera_model.py:224,258-262``), so in torch
+    # they alias one buffer that receives BOTH Adam updates (each with its own
+    # optimizer state) every step, and both ray paths read the summed result.
+    # Exact emulation with two pytree leaves: each path reads
+    # ``own_grid + stop_gradient(other_grid)`` — the value is the shared sum
+    # while gradients stay split per-path, so two independent Adam updates
+    # compose identically to torch's sequential in-place updates.
+    tied_ray_noise: bool = static_field(default=False)
 
 
 @pytree_dataclass
@@ -201,12 +212,18 @@ def sample_noise_grid(
 
 def ray_o_noise_at(camera: Camera, px, py) -> jnp.ndarray:
     cfg = camera.config
-    return sample_noise_grid(camera.ray_o_grid, px, py, cfg.H, cfg.W) * cfg.ray_o_noise_scale
+    grid = camera.ray_o_grid
+    if cfg.tied_ray_noise:
+        grid = grid + jax.lax.stop_gradient(camera.ray_d_grid)
+    return sample_noise_grid(grid, px, py, cfg.H, cfg.W) * cfg.ray_o_noise_scale
 
 
 def ray_d_noise_at(camera: Camera, px, py) -> jnp.ndarray:
     cfg = camera.config
-    return sample_noise_grid(camera.ray_d_grid, px, py, cfg.H, cfg.W) * cfg.ray_d_noise_scale
+    grid = camera.ray_d_grid
+    if cfg.tied_ray_noise:
+        grid = jax.lax.stop_gradient(camera.ray_o_grid) + grid
+    return sample_noise_grid(grid, px, py, cfg.H, cfg.W) * cfg.ray_d_noise_scale
 
 
 # --------------------------------------------------------------------------

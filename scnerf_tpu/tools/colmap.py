@@ -250,10 +250,11 @@ def write_nerfpp_split(cam_dict: dict, out_dir: str, split: str = "train",
                        image_src_dir: str | None = None) -> str:
     """cam_dict -> the NeRF++ on-disk split layout our loader (and the
     reference's ``data_loader_split.py``) reads: per image
-    ``{split}/intrinsics/<name>.txt`` (16 K floats) and
-    ``{split}/pose/<name>.txt`` (16 c2w floats), plus ``rgb/`` copies when
-    ``image_src_dir`` is given. Completes the images -> COLMAP ->
-    extract -> normalize -> dataset pipeline end-to-end."""
+    ``{split}/intrinsics/<name>.txt`` (16 K floats, or 18 with trailing
+    radial ``k1 k2`` when the entry carries ``"k"`` — fisheye datasets,
+    ``data_loader_split.py:34``) and ``{split}/pose/<name>.txt`` (16 c2w
+    floats), plus ``rgb/`` copies when ``image_src_dir`` is given. Completes
+    the images -> COLMAP -> extract -> normalize -> dataset pipeline."""
     import shutil
 
     base = os.path.join(out_dir, split)
@@ -263,9 +264,12 @@ def write_nerfpp_split(cam_dict: dict, out_dir: str, split: str = "train",
         v = cam_dict[name]
         stem = os.path.splitext(name)[0]
         K = np.asarray(v["K"], float)
+        vals = list(K.reshape(-1))
+        if v.get("k") is not None:
+            vals += [float(x) for x in np.asarray(v["k"]).reshape(-1)[:2]]
         c2w = np.linalg.inv(np.asarray(v["W2C"], float).reshape(4, 4))
         with open(os.path.join(base, "intrinsics", stem + ".txt"), "w") as f:
-            f.write(" ".join(repr(float(x)) for x in K.reshape(-1)))
+            f.write(" ".join(repr(float(x)) for x in vals))
         with open(os.path.join(base, "pose", stem + ".txt"), "w") as f:
             f.write(" ".join(repr(float(x)) for x in c2w.reshape(-1)))
         if image_src_dir:

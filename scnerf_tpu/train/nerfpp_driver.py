@@ -108,6 +108,10 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
             H=train.H, W=train.W, grid_size=cfg.camera.grid_size,
             convention=OPENCV, pixel_offset=0.5,
             use_distortion=cfg.camera.use_distortion,
+            # The reference's Distortion variant registers ray_o/ray_d noise
+            # from one shared tensor (camera_model.py:224,258-262) — fisheye
+            # runs train a single tied grid; see CameraConfig.tied_ray_noise.
+            tied_ray_noise=cfg.camera.use_distortion,
             multiplicative_noise=cfg.camera.multiplicative_noise,
             intrinsics_noise_scale=cfg.camera.intrinsics_noise_scale,
             distortion_noise_scale=cfg.camera.distortion_noise_scale,
@@ -121,6 +125,9 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
         decay_factor=train_cfg.lr_decay_factor,
         weight_decay=cfg.optim.non_linear_weight_decay if cfg.optim.use_custom_optim else 0.0,
         params_example=params,
+        # NeRF++ clamps the decayed rate at 1% of the initial one
+        # (ddp_train_nerf.py:388-390); the NeRF schedule has no floor.
+        lr_floor=0.01 * train_cfg.lr_init,
     )
     state = create_train_state(params, tx)
 

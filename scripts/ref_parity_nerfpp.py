@@ -53,6 +53,7 @@ sys.path.insert(0, REPO)
 H, W, FOCAL = 24, 32, 28.0
 N_TRAIN = 1
 TEXTURE = False  # PRD regime: high-frequency texture so SIFT finds matches
+DIST_K = None  # fisheye regime: shared (k1, k2) written as 18-float intrinsics
 CASCADE = (8, 8)
 MLP = dict(depth=8, width=64, max_freq_log2=10, max_freq_log2_viewdirs=4)
 LR, LR_DECAY_STEPS = 5e-4, 750  # reference units: *1000 inside the trainer
@@ -124,6 +125,8 @@ def build_scene(datadir: str) -> str:
                 "W2C": cam_entry(i, N_TRAIN + 1).reshape(-1).tolist(),
                 "img_size": [W, H],
             }
+            if DIST_K is not None:
+                cam_dict[name]["k"] = list(DIST_K)
         write_nerfpp_split(cam_dict, scene_dir, split=split,
                            image_src_dir=img_dir)
     return scene_dir
@@ -194,19 +197,27 @@ def reference_feasible_pairs(extrinsics: np.ndarray, threshold: float = 30.0):
             repro.image_pair_candidates(extrinsics, _Args()).items()}
 
 
-def make_init_params():
+def make_init_params(autoexpo: bool = False):
     import jax
 
     from scnerf_tpu.fields.nerfpp import NerfPPConfig, init_nerfpp_net
 
     cfg = NerfPPConfig(**MLP)
     key = jax.random.key(4321)
-    levels = [init_nerfpp_net(jax.random.fold_in(key, m), cfg)
+    levels = [init_nerfpp_net(jax.random.fold_in(key, m), cfg,
+                              n_images=N_TRAIN, autoexpo=autoexpo)
               for m in range(len(CASCADE))]
     return cfg, levels
 
 
-def write_init_ckpt(levels, expdir: str) -> None:
+def train_img_paths(datadir: str) -> list:
+    """The trainer's ray_sampler img_paths (loader order = sorted rgb
+    files), needed for name-keyed autoexpo state-dict entries."""
+    rgb = os.path.join(datadir, "scene", "train", "rgb")
+    return [os.path.join(rgb, f) for f in sorted(os.listdir(rgb))]
+
+
+def write_init_ckpt(levels, expdir: str, img_paths: list | None = None) -> None:
     import torch
 
     from scnerf_tpu.tools.convert import params_to_torch_nerfnet
@@ -216,7 +227,7 @@ def write_init_ckpt(levels, expdir: str) -> None:
     for m, lvl in enumerate(levels):
         ckpt[f"net_{m}"] = {
             k: torch.from_numpy(np.ascontiguousarray(v))
-            for k, v in params_to_torch_nerfnet(lvl).items()
+            for k, v in params_to_torch_nerfnet(lvl, img_paths=img_paths).items()
         }
     torch.save(ckpt, os.path.join(expdir, "model_000000.pth"))
 
@@ -266,7 +277,8 @@ def precompute_matches(datadir: str, workdir: str, pairs: dict) -> tuple:
 
 
 def run_reference(datadir: str, n_steps: int, workdir: str, camera: bool,
-                  matches_npz: str | None = None):
+                  matches_npz: str | None = None, autoexpo: bool = False,
+                  fisheye: bool = False):
     out_npz = os.path.join(workdir, "ref_out.npz")
     flags = [
         "--expname", "parity", "--basedir", workdir,
@@ -285,15 +297,24 @@ def run_reference(datadir: str, n_steps: int, workdir: str, camera: bool,
         "--i_weights", str(n_steps), "--camera_log", "1000000",
         "--master_addr", str(_free_port()), "--normalize_factor", "1.0",
     ]
+    if autoexpo:
+        # reference default lambda (config_argparser.py:48) made explicit.
+        flags += ["--optim_autoexpo", "--lambda_autoexpo", "1.0"]
     if camera:
         # NeRF++-pipeline defaults (config_argparser.py:68-80): ray noise
         # 1e-3, extrinsics 1e-2, intrinsics 1.0. add_ie/add_od=0 with
         # start=0 skips create_nerf's deactivation (start < add_* is
         # false), so all noise groups train from the first step; add_prd
         # stays -1 (SuperGlue weights are not in this image).
-        flags += ["--use_camera", "--camera_model",
-                  "pinhole_rot_noise_10k_rayo_rayd",
+        model = "fisheye" if fisheye else "pinhole_rot_noise_10k_rayo_rayd"
+        flags += ["--use_camera", "--camera_model", model,
                   "--add_ie", "0", "--add_od", "0", "--grid_size", "10"]
+    if fisheye:
+        # Published fisheye configs: camera_model=fisheye (-> the Distortion
+        # variant, create_nerf.py:31-34), run_fisheye (no PRD, val=train),
+        # multiplicative intrinsics noise, add_radial active from step 0.
+        flags += ["--run_fisheye", "--add_radial", "0",
+                  "--multiplicative_noise"]
     if matches_npz:
         # PRD active every step (alternate_frequency=1, gs > add_prd=0,
         # ddp_train_nerf.py:494-497); matches come from the driver's
@@ -325,6 +346,12 @@ def run_reference(datadir: str, n_steps: int, workdir: str, camera: bool,
               if k.startswith(f"net{m}::")}
         if sd:
             final[f"level{m}"] = torch_nerfnet_to_params(sd, depth=MLP["depth"])
+            ae = {k.split("autoexpo_params.")[1]: np.asarray(v)
+                  for k, v in sd.items() if "autoexpo_params." in k}
+            if ae:
+                # name-keyed -> index order (sorted names == loader order)
+                final[f"autoexpo{m}"] = np.stack(
+                    [ae[k] for k in sorted(ae)], 0)
     cam_sd = {k[5:]: data[k] for k in data.files if k.startswith("cam::")}
     if cam_sd:
         from scnerf_tpu.tools.convert import torch_camera_to_fields
@@ -369,7 +396,8 @@ def replay_rngs(n_steps: int, pairs: dict | None = None):
 
 
 def run_ours(datadir: str, n_steps: int, model_cfg, init_levels, camera: bool,
-             prd_matches: dict | None = None, pairs: dict | None = None):
+             prd_matches: dict | None = None, pairs: dict | None = None,
+             autoexpo: bool = False, fisheye: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -396,13 +424,19 @@ def run_ours(datadir: str, n_steps: int, model_cfg, init_levels, camera: bool,
             # NeRF++-pipeline defaults (config_argparser.py:68-80).
             ray_o_noise_scale=1e-3, ray_d_noise_scale=1e-3,
             extrinsics_noise_scale=1e-2, intrinsics_noise_scale=1.0,
+            # fisheye: the Distortion variant with the reference's
+            # shared-storage ray-noise quirk and multiplicative K noise.
+            use_distortion=fisheye, tied_ray_noise=fisheye,
+            multiplicative_noise=fisheye, distortion_noise_scale=1e-2,
         )
-        params["camera"] = init_camera(d.intrinsics[0], d.poses, cam_cfg)
+        k = d.k[0] if (fisheye and d.k is not None) else None
+        params["camera"] = init_camera(d.intrinsics[0], d.poses, cam_cfg, k=k)
 
     render_cfg = NerfPPRenderConfig(cascade_samples=CASCADE, perturb=True,
                                     remat_chunk=0)
     train_cfg = NerfPPTrainConfig(lr_init=LR,
-                                  lr_decay_steps=LR_DECAY_STEPS * 1000)
+                                  lr_decay_steps=LR_DECAY_STEPS * 1000,
+                                  autoexpo=autoexpo, lambda_autoexpo=1.0)
     cur = Curriculum(add_prd=0, i_ray_dist_loss=1, ray_dist_loss_weight=1e-4)
     tx = make_optimizer(LR, LR_DECAY_STEPS * 1000, params_example=params)
     state = create_train_state(params, tx)
@@ -449,9 +483,8 @@ def run_ours(datadir: str, n_steps: int, model_cfg, init_levels, camera: bool,
             target=jnp.asarray(d.images[img_i].reshape(-1, 3)),
             rands=jax.tree.map(jnp.asarray, rands),
         )
-        if camera:
-            batch["img_idx"] = jnp.full((n,), img_i, jnp.int32)
-        else:
+        batch["img_idx"] = jnp.full((n,), img_i, jnp.int32)
+        if not camera:
             ro, rd = rays_opencv(jnp.asarray(d.intrinsics[img_i]),
                                  jnp.asarray(d.poses[img_i]), px, py)
             batch.update(rays_o=ro, rays_d=rd)
@@ -491,21 +524,29 @@ def tree_max_diff(a, b) -> float:
 
 
 def main(n_steps: int = 150, out_json: str | None = None,
-         workdir: str | None = None, camera: bool = False, prd: bool = False):
+         workdir: str | None = None, camera: bool = False, prd: bool = False,
+         autoexpo: bool = False, fisheye: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
 
-    global N_TRAIN, TEXTURE, H, W, FOCAL
+    global N_TRAIN, TEXTURE, H, W, FOCAL, DIST_K
     if prd:
         camera = True
         N_TRAIN, TEXTURE = 3, True  # tight ring -> every pair feasible
         H, W, FOCAL = 64, 96, 56.0  # SIFT needs resolution (4-10 matches/pair)
+    if autoexpo:
+        N_TRAIN = 2  # exercise per-image (scale, shift) keying
+    if fisheye:
+        camera = True
+        N_TRAIN = 2  # distortion shared across views, per-view extrinsics
+        DIST_K = (-0.12, 0.04)  # mild barrel: keeps warped pixels in-frame
     workdir = workdir or tempfile.mkdtemp(prefix="ref_parity_nerfpp_")
     datadir = os.path.join(workdir, "data")
     build_scene(datadir)
-    model_cfg, init_levels = make_init_params()
-    write_init_ckpt(init_levels, os.path.join(workdir, "parity"))
+    model_cfg, init_levels = make_init_params(autoexpo=autoexpo)
+    write_init_ckpt(init_levels, os.path.join(workdir, "parity"),
+                    img_paths=train_img_paths(datadir) if autoexpo else None)
 
     matches_npz, raw_matches, pairs = None, None, None
     if prd:
@@ -518,34 +559,50 @@ def main(n_steps: int = 150, out_json: str | None = None,
         matches_npz, raw_matches = precompute_matches(datadir, workdir, pairs)
 
     print(f"[ref_parity_nerfpp] workdir={workdir} steps={n_steps} "
-          f"camera={camera} prd={prd}")
+          f"camera={camera} prd={prd} autoexpo={autoexpo} fisheye={fisheye}")
     ref_mse, ref_final = run_reference(datadir, n_steps, workdir, camera,
-                                       matches_npz=matches_npz)
+                                       matches_npz=matches_npz,
+                                       autoexpo=autoexpo, fisheye=fisheye)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, -1])
 
     our_loss, our_psnr, our_final = run_ours(datadir, n_steps, model_cfg,
                                              init_levels, camera,
                                              prd_matches=raw_matches,
-                                             pairs=pairs)
+                                             pairs=pairs, autoexpo=autoexpo,
+                                             fisheye=fisheye)
 
     rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
-    w_diff = {
-        f"level{m}": tree_max_diff(our_final["levels"][m],
-                                   ref_final[f"level{m}"])
-        for m in range(len(CASCADE)) if f"level{m}" in ref_final
-    }
+    w_diff = {}
+    for m in range(len(CASCADE)):
+        if f"level{m}" not in ref_final:
+            continue
+        ours_m = {k: v for k, v in our_final["levels"][m].items()
+                  if k != "autoexpo"}
+        w_diff[f"level{m}"] = tree_max_diff(ours_m, ref_final[f"level{m}"])
+        if f"autoexpo{m}" in ref_final:
+            w_diff[f"autoexpo{m}"] = float(np.abs(
+                np.asarray(our_final["levels"][m]["autoexpo"])
+                - ref_final[f"autoexpo{m}"]).max())
     if "camera_fields" in ref_final:
         cam = our_final["camera"]
-        w_diff["camera"] = max(
-            float(np.abs(np.asarray(getattr(cam, f)) - np.asarray(v)).max())
-            for f, v in ref_final["camera_fields"].items()
-            if getattr(cam, f, None) is not None
-        )
+        diffs = []
+        for f, v in ref_final["camera_fields"].items():
+            if getattr(cam, f, None) is None:
+                continue
+            ours_v = np.asarray(getattr(cam, f))
+            if fisheye and f in ("ray_o_grid", "ray_d_grid"):
+                # tied-ray-noise emulation: the torch shared buffer equals
+                # the SUM of our two leaves (see CameraConfig.tied_ray_noise)
+                ours_v = np.asarray(cam.ray_o_grid) + np.asarray(cam.ray_d_grid)
+            diffs.append(float(np.abs(ours_v - np.asarray(v)).max()))
+        w_diff["camera"] = max(diffs)
     report = {
         "pipeline": "nerfpp",
         "camera_model": bool(camera),
         "prd": bool(prd),
+        "autoexpo": bool(autoexpo),
+        "fisheye": bool(fisheye),
         "n_steps": n_steps,
         "loss_rel_diff": {
             "step0": float(rel[0]),
@@ -578,5 +635,11 @@ if __name__ == "__main__":
                     help="learnable-camera (self-calibration) parity run")
     ap.add_argument("--prd", action="store_true",
                     help="flagship regime: camera + every-step NeRF++ PRD")
+    ap.add_argument("--autoexpo", action="store_true",
+                    help="per-image auto-exposure (scale, shift) regime")
+    ap.add_argument("--fisheye", action="store_true",
+                    help="FishEyeNeRF regime: Distortion camera variant "
+                         "(radial warp, tied ray noise, multiplicative K)")
     a = ap.parse_args()
-    main(a.steps, a.out, a.workdir, camera=a.camera, prd=a.prd)
+    main(a.steps, a.out, a.workdir, camera=a.camera, prd=a.prd,
+         autoexpo=a.autoexpo, fisheye=a.fisheye)

@@ -193,3 +193,88 @@ class TestRays:
         assert float(jnp.abs(g.ray_o_grid).sum()) > 0
         assert float(jnp.abs(g.ray_d_grid).sum()) > 0
         assert float(jnp.abs(g.distortion_noise).sum()) > 0
+
+
+class TestTiedRayNoise:
+    """The reference's Distortion camera registers ray_o_noise and
+    ray_d_noise from ONE zero tensor (``camera_model.py:224,258-262``):
+    in torch both Parameters alias the same storage, which receives both
+    Adam updates (each with its own optimizer state) every step. Oracle:
+    replicate that exact torch setup and compare one optimization step
+    against our two-leaf stop-gradient emulation
+    (``CameraConfig.tied_ray_noise``)."""
+
+    def test_matches_torch_shared_storage_adam(self):
+        import torch
+
+        torch.manual_seed(0)
+        gh, gw, lr = 2, 3, 1e-2
+        go = np.random.RandomState(1).randn(gh, gw, 3).astype(np.float32)
+
+        # -- torch oracle: two params aliasing one storage -----------------
+        shared = torch.from_numpy(go.copy())
+        m = torch.nn.Module()
+        m.register_parameter("ray_o_noise", torch.nn.Parameter(shared))
+        m.register_parameter("ray_d_noise", torch.nn.Parameter(shared))
+        assert m.ray_o_noise.data_ptr() == m.ray_d_noise.data_ptr()
+        opt = torch.optim.Adam(m.parameters(), lr=lr)
+        # distinct per-path losses (like the o- and d-ray paths)
+        loss = (m.ray_o_noise * 2.0).sum() + (m.ray_d_noise ** 2).sum()
+        loss.backward()
+        opt.step()
+        torch_value = m.ray_o_noise.detach().numpy()
+
+        # -- our emulation: two leaves, value = sum, grads split -----------
+        def value_o(a, b):
+            return a + jax.lax.stop_gradient(b)
+
+        def value_d(a, b):
+            return jax.lax.stop_gradient(a) + b
+
+        def loss_fn(leaves):
+            a, b = leaves
+            return jnp.sum(value_o(a, b) * 2.0) + jnp.sum(value_d(a, b) ** 2)
+
+        import optax
+
+        # both leaves carry the shared init split as (init, 0) so a+b = init
+        leaves = (jnp.asarray(go), jnp.zeros_like(jnp.asarray(go)))
+        tx = optax.adam(lr)  # optax.adam matches torch.optim.Adam defaults
+        opt_state = tx.init(leaves)
+        grads = jax.grad(loss_fn)(leaves)
+        updates, opt_state = tx.update(grads, opt_state, leaves)
+        leaves = optax.apply_updates(leaves, updates)
+        ours = np.asarray(leaves[0] + leaves[1])
+
+        np.testing.assert_allclose(ours, torch_value, rtol=1e-5, atol=1e-6)
+
+    def test_camera_paths_read_shared_sum(self):
+        cam, K, E = make_camera(convention=OPENCV, tied_ray_noise=True)
+        rng = np.random.RandomState(3)
+        a = jnp.asarray(rng.randn(*cam.ray_o_grid.shape).astype(np.float32))
+        b = jnp.asarray(rng.randn(*cam.ray_d_grid.shape).astype(np.float32))
+        cam_t = cam.replace(ray_o_grid=a, ray_d_grid=b)
+        # an untied camera whose BOTH grids hold the sum must produce the
+        # identical rays
+        cam_u = cam.replace(
+            config=cam.config.replace(tied_ray_noise=False),
+            ray_o_grid=a + b, ray_d_grid=a + b,
+        )
+        px = jnp.asarray([1.0, 13.0, 37.0])
+        py = jnp.asarray([2.0, 17.0, 29.0])
+        ro_t, rd_t = pixels_to_rays(cam_t, px, py, image_idx=0)
+        ro_u, rd_u = pixels_to_rays(cam_u, px, py, image_idx=0)
+        np.testing.assert_allclose(np.asarray(ro_t), np.asarray(ro_u), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(rd_t), np.asarray(rd_u), rtol=1e-6)
+
+    def test_gradients_split_per_path(self):
+        cam, K, E = make_camera(convention=OPENCV, tied_ray_noise=True)
+
+        def loss(c):
+            ro, rd = pixels_to_rays(c, jnp.asarray([5.0]), jnp.asarray([7.0]),
+                                    image_idx=0)
+            return jnp.sum(ro)  # only the o-path contributes
+
+        g = jax.grad(loss)(cam)
+        assert float(jnp.abs(g.ray_o_grid).max()) > 0
+        assert float(jnp.abs(g.ray_d_grid).max()) == 0
