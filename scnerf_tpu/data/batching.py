@@ -44,6 +44,52 @@ class RayPool:
         }
 
 
+class PixelPool:
+    """``use_batching`` WITH a camera model: a shuffled pool of global
+    pixel indices over the train images (``run_nerf.py:303-305,369-407``).
+
+    The reference cannot precompute rays here (they must stay differentiable
+    through the camera), so it shuffles flat indices ``image*H*W + y*W + x``
+    and decodes each batch into per-ray (image idx, pixel) triples that go
+    through ``get_rays_kps_use_camera``; epoch exhaustion reshuffles. This
+    is the PUBLISHED main-table path: ``configs/llff_data/*.txt`` leave
+    ``no_batching`` unset (False) while every "ours" run adds a camera.
+
+    The returned image indices are CAMERA-TABLE (train-split) positions;
+    the caller maps through ``i_train`` for target lookup.
+    """
+
+    def __init__(self, n_images: int, H: int, W: int, seed: int = 777,
+                 rng: np.random.RandomState | None = None):
+        self._H, self._W = H, W
+        self._n = n_images * H * W
+        self._rng = rng if rng is not None else np.random.RandomState(seed)
+        self._idx = np.arange(self._n)
+        self._rng.shuffle(self._idx)
+        self._cursor = 0
+        self.epoch = 0
+
+    def next_batch(self, n: int):
+        """(img_idx int32, px float32, py float32), each ``(n,)``.
+
+        Fixed-size batches: reshuffles when fewer than ``n`` remain (the
+        reference instead emits one short tail batch, then reshuffles —
+        equivalent coverage, but short batches would retrigger jit).
+        """
+        if self._cursor + n > self._n:
+            self._rng.shuffle(self._idx)
+            self._cursor = 0
+            self.epoch += 1
+        sl = self._idx[self._cursor : self._cursor + n]
+        self._cursor += n
+        hw = self._H * self._W
+        img = (sl // hw).astype(np.int32)
+        rem = sl % hw
+        py = (rem // self._W).astype(np.float32)
+        px = (rem % self._W).astype(np.float32)
+        return img, px, py
+
+
 def sample_pixels(
     rng: np.random.RandomState,
     H: int,

@@ -86,6 +86,7 @@ class NerfExperiment:
     eval_pair_list: np.ndarray | None = None
     render_poses: np.ndarray | None = None  # (R, 4, 4) spiral/spherical path
     ray_pool: RayPool | None = None
+    pixel_pool: Any | None = None  # use_batching + camera (PixelPool)
     device_step: Any | None = None  # (state, key) step with on-device sampling
     rng: np.random.RandomState = field(default_factory=lambda: np.random.RandomState(777))
     logger: MetricLogger | None = None
@@ -266,7 +267,11 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         else:
             match_cache = PrecomputedMatches(cache_path)
 
-    ray_pool = None
+    ray_pool, pixel_pool = None, None
+    if cfg.sampling.use_batching and cfg.camera.use_camera:
+        from scnerf_tpu.data.batching import PixelPool
+
+        pixel_pool = PixelPool(len(i_train), H, W, rng=rng)
     if cfg.sampling.use_batching and not cfg.camera.use_camera:
         ros, rds, tgts = [], [], []
         for i in i_train:
@@ -305,6 +310,7 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         gt_intrinsic=gt_K, gt_poses=gt_poses, noisy_poses=noisy_poses,
         noisy_focal=noisy_focal, near=near, far=far, H=H, W=W,
         match_cache=match_cache, pair_list=pair_list, ray_pool=ray_pool,
+        pixel_pool=pixel_pool,
         device_step=device_step, rng=rng, logger=logger,
         render_poses=render_poses,
     )
@@ -316,6 +322,18 @@ def sample_batch(exp: NerfExperiment, step: int) -> dict:
     if exp.ray_pool is not None:
         b = exp.ray_pool.next_batch(n_rand)
         return {k: jnp.asarray(v) for k, v in b.items()}
+    if exp.pixel_pool is not None:
+        # use_batching WITH camera (run_nerf.py:369-407): per-ray image
+        # indices through the differentiable camera. The published
+        # main-table regime (no_batching unset + camera model).
+        ci, px, py = exp.pixel_pool.next_batch(n_rand)
+        target = gather_target(exp.images, exp.i_train[ci], px, py)
+        return {
+            "px": jnp.asarray(px),
+            "py": jnp.asarray(py),
+            "img_idx": jnp.asarray(ci),
+            "target": jnp.asarray(target, jnp.float32),
+        }
     precrop = (
         cfg.sampling.precrop_frac
         if step < cfg.sampling.precrop_iters

@@ -50,6 +50,8 @@ NEAR_FAR_FROM_BDS = True
 MLP = dict(depth=8, width=64, skips=(4,), multires=10, multires_views=4)
 SAMPLES = dict(n_samples=12, n_importance=12)
 LR, LR_DECAY = 5e-4, 250  # reference units: decay_steps = lrate_decay * 1000
+WEIGHT_DECAY = 0.1  # --custom_optim regime: demo.sh's non_linear_weight_decay
+N_RAND_BATCHING = 256  # --batching regime: divides 2*H*W so no short batch
 
 
 def scene_image(i: int) -> np.ndarray:
@@ -206,7 +208,8 @@ def reference_sift_matches(img0: np.ndarray, img1: np.ndarray):
 
 def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
                   camera: bool = False, ndc: bool = False, prd: bool = False,
-                  blender: bool = False):
+                  blender: bool = False, custom_optim: bool = False,
+                  batching: bool = False):
     """Run the real reference trainer in a subprocess; returns (mse (n,2)
     fine/coarse, final coarse+fine[+camera] params in OUR layout)."""
     out_npz = os.path.join(workdir, "ref_out.npz")
@@ -218,13 +221,13 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
                      "--llffhold", "8"] + ([] if ndc else ["--no_ndc"]))
     flags = [
         "--expname", "parity", "--basedir", workdir, "--datadir", scene_dir,
-        "--no_batching", "--use_viewdirs",
-    ] + ds_flags + [
+        "--use_viewdirs",
+    ] + ([] if batching else ["--no_batching"]) + ds_flags + [
         "--netdepth", str(MLP["depth"]), "--netwidth", str(MLP["width"]),
         "--netdepth_fine", str(MLP["depth"]), "--netwidth_fine", str(MLP["width"]),
         "--multires", str(MLP["multires"]),
         "--multires_views", str(MLP["multires_views"]),
-        "--N_rand", str(H * W),
+        "--N_rand", str(N_RAND_BATCHING if batching else H * W),
         "--N_samples", str(SAMPLES["n_samples"]),
         "--N_importance", str(SAMPLES["n_importance"]),
         "--perturb", "0.0", "--raw_noise_std", "0.0",
@@ -248,6 +251,12 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
         flags[i] = "proj_ray_dist"
         flags += ["--i_ray_dist_loss", "10", "--ray_dist_loss_weight", "0.0001",
                   "--pairing_angle_threshold", "30"]
+    if custom_optim:
+        # demo.sh's canonical optimizer: CustomAdamOptimizer with L2-in-grad
+        # decay on the trailing rayo/rayd noise params
+        # (create_nerf.py:199-336; demo.sh --non_linear_weight_decay 0.1).
+        flags += ["--use_custom_optim", "True",
+                  "--non_linear_weight_decay", str(WEIGHT_DECAY)]
     spec = {"flags": flags, "n_steps": n_steps, "out_npz": out_npz,
             "workdir": workdir}
     spec_path = os.path.join(workdir, "ref_spec.json")
@@ -279,7 +288,8 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
 
 def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
              camera: bool = False, ndc: bool = False, prd: bool = False,
-             blender: bool = False):
+             blender: bool = False, custom_optim: bool = False,
+             batching: bool = False):
     """Run our trainer on the identical workload; returns (loss, psnr,
     final params). ``loss`` is the PHOTOMETRIC part (fine + coarse mse),
     matching what the reference-side tap records."""
@@ -297,6 +307,8 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
     d = load_llff(scene_dir, factor=1, llffhold=8)
     if prd:
         return _run_ours_prd(d, n_steps, model_cfg, init_params)
+    if batching:
+        return _run_ours_batching(d, n_steps, model_cfg, init_params)
     (train_idx,) = [int(i) for i in d.i_train]
     if ndc:
         near, far = 0.0, 1.0  # load_llff_data's NDC bounds (run_nerf.py:148-149)
@@ -349,7 +361,8 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
         use_ndc=ndc,
     )
     params = dict(init_params)
-    tx = make_optimizer(LR, LR_DECAY * 1000, params_example=params)
+    tx = make_optimizer(LR, LR_DECAY * 1000, params_example=params,
+                        weight_decay=WEIGHT_DECAY if custom_optim else 0.0)
     state = create_train_state(params, tx)
     from scnerf_tpu.train.curriculum import Curriculum
 
@@ -411,6 +424,91 @@ def _run_ours_blender(scene_dir: str, n_steps: int, model_cfg, init_params):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
         losses.append(float(metrics["loss"]))
         psnrs.append(float(metrics["psnr"]))
+    return np.asarray(losses), np.asarray(psnrs), state.params
+
+
+def _run_ours_batching(d, n_steps: int, model_cfg, init_params):
+    """use_batching + camera — the PUBLISHED LLFF main-table sampling path
+    (``run_nerf.py:303-305,369-407``): a globally shuffled pool of flat
+    pixel indices decoded per step into per-ray (train-image idx, pixel)
+    triples cast through the differentiable camera; epoch exhaustion
+    reshuffles IN the numpy stream.
+
+    Deterministic by RNG replay: the reference's np stream after
+    ``fix_seeds(777)`` (the loader draws nothing at zero injected noise) is
+    one setup ``shuffle``, then per step one ``choice(index_train)`` (its
+    ``img_i`` log/PRD pick — drawn even without PRD) and, on epoch
+    boundaries, a reshuffle. N_rand divides the pool so the reference's
+    short-tail-batch branch never triggers.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from scnerf_tpu.camera import CameraConfig, OPENGL, init_camera
+    from scnerf_tpu.render.renderer import RenderConfig
+    from scnerf_tpu.train.curriculum import Curriculum
+    from scnerf_tpu.train.optim import make_optimizer
+    from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
+
+    i_train = np.asarray(d.i_train)
+    near = float(d.bds.min()) * 0.9
+    far = float(d.bds.max())
+    K_init = d.gt_intrinsic.copy()
+    K_init[0, 0] = K_init[1, 1] = d.noisy_focal
+    cam = init_camera(
+        K_init, d.noisy_poses[i_train],
+        CameraConfig(H=H, W=W, grid_size=10, convention=OPENGL,
+                     ray_o_noise_scale=1e-4, ray_d_noise_scale=1e-4,
+                     extrinsics_noise_scale=1.0, intrinsics_noise_scale=1.0),
+    )
+    params = dict(init_params, camera=cam)
+    render_cfg = RenderConfig(
+        n_samples=SAMPLES["n_samples"], n_importance=SAMPLES["n_importance"],
+        perturb=False, raw_noise_std=0.0, use_viewdirs=True,
+    )
+    train_cfg = TrainConfig(lr_init=LR, lr_decay_steps=LR_DECAY * 1000,
+                            near=near, far=far, use_ndc=False)
+    tx = make_optimizer(LR, LR_DECAY * 1000, params_example=params)
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(model_cfg, render_cfg, train_cfg, Curriculum(),
+                              tx, with_prd=False, donate=False)
+
+    n_total = len(i_train) * H * W
+    n_rand = N_RAND_BATCHING
+    assert n_total % n_rand == 0, (n_total, n_rand)
+    np.random.seed(777)  # fix_seeds(777): replay the reference's np stream
+    shuffled = np.arange(n_total)
+    np.random.shuffle(shuffled)
+    i_batch = 0
+    epochs = 0
+    losses, psnrs = [], []
+    key = jax.random.key(0)
+    for it in range(n_steps):
+        sl = shuffled[i_batch : i_batch + n_rand]
+        ci = (sl // (H * W)).astype(np.int32)  # camera-table (train) index
+        rem = sl % (H * W)
+        py = (rem // W).astype(np.float32)
+        px = (rem % W).astype(np.float32)
+        target = d.images[i_train[ci], py.astype(int), px.astype(int)]
+        np.random.choice(i_train[ci])  # RNG-advance: the reference's img_i
+        i_batch += n_rand
+        if i_batch >= n_total:
+            np.random.shuffle(shuffled)
+            i_batch = 0
+            epochs += 1
+        batch = {
+            "px": jnp.asarray(px),
+            "py": jnp.asarray(py),
+            "img_idx": jnp.asarray(ci),
+            "target": jnp.asarray(target, jnp.float32),
+        }
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, it))
+        losses.append(float(metrics["mse"]) + float(metrics["mse0"]))
+        psnrs.append(float(metrics["psnr"]))
+    if epochs == 0:
+        raise RuntimeError("batching parity run never exhausted an epoch — "
+                           "the reshuffle path went unexercised.")
+    print(f"[ref_parity] batching regime: {epochs} epoch reshuffles replayed")
     return np.asarray(losses), np.asarray(psnrs), state.params
 
 
@@ -547,7 +645,8 @@ def tree_max_diff(a, b) -> float:
 
 def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = None,
          camera: bool = False, ndc: bool = False, prd: bool = False,
-         blender: bool = False):
+         blender: bool = False, custom_optim: bool = False,
+         batching: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -556,6 +655,11 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
     if prd:
         camera = True
         N_IMAGES, TEXTURE = 3, True  # 2 train images -> 1 feasible pair
+    if custom_optim:
+        camera = True  # the decayed params are the camera's noise grids
+    if batching:
+        camera = True  # the published combination (see _run_ours_batching)
+        N_IMAGES = 3  # 2 train images -> per-batch image mixing
     workdir = workdir or tempfile.mkdtemp(prefix="ref_parity_")
     scene = os.path.join(workdir, "scene")
     (build_blender_scene if blender else build_scene)(scene)
@@ -564,16 +668,20 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
     write_init_ckpt(init_params, init_tar)
 
     print(f"[ref_parity] scene={scene} steps={n_steps} camera={camera} "
-          f"ndc={ndc} prd={prd} blender={blender}")
+          f"ndc={ndc} prd={prd} blender={blender} custom_optim={custom_optim} "
+          f"batching={batching}")
     ref_mse, ref_final = run_reference(scene, n_steps, init_tar, workdir,
                                        camera=camera, ndc=ndc, prd=prd,
-                                       blender=blender)
+                                       blender=blender, custom_optim=custom_optim,
+                                       batching=batching)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
 
     our_loss, our_psnr, our_final = run_ours(scene, n_steps, model_cfg,
                                              init_params, camera=camera, ndc=ndc,
-                                             prd=prd, blender=blender)
+                                             prd=prd, blender=blender,
+                                             custom_optim=custom_optim,
+                                             batching=batching)
 
     rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
     w_diff = {
@@ -592,6 +700,8 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         "ndc": bool(ndc),
         "prd": bool(prd),
         "blender": bool(blender),
+        "custom_optim": bool(custom_optim),
+        "batching": bool(batching),
         "n_steps": n_steps,
         "loss_rel_diff": {
             "step0": float(rel[0]),
@@ -628,6 +738,13 @@ if __name__ == "__main__":
                     help="flagship regime: camera + projected-ray-distance loss")
     ap.add_argument("--blender", action="store_true",
                     help="blender pipeline (white background, near/far 2/6)")
+    ap.add_argument("--custom_optim", action="store_true",
+                    help="demo.sh regime: CustomAdam with weight decay on "
+                         "the camera noise grids")
+    ap.add_argument("--batching", action="store_true",
+                    help="use_batching + camera: the published LLFF "
+                         "main-table sampling path (shuffled global pixel "
+                         "pool, per-ray image indices)")
     a = ap.parse_args()
     main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc, prd=a.prd,
-         blender=a.blender)
+         blender=a.blender, custom_optim=a.custom_optim, batching=a.batching)

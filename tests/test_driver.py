@@ -279,6 +279,28 @@ class TestReferenceConfigCompatibility:
             n += 1
         assert n > 0, "no reference configs found"
 
+    def test_nerfpp_decay_steps_units(self, tmp_path):
+        """The reference's lrate_decay_steps flag is in THOUSANDS
+        (ddp_train_nerf.py:387); the shim must convert. The published
+        fisheyenerf_high configs set 800 -> 800,000 direct steps."""
+        p = tmp_path / "c.txt"
+        p.write_text("datadir = /x\ndataset_type = nerfpp\n"
+                     "lrate_decay_steps = 800\n")
+        cfg = load_experiment(str(p), warn=lambda *a: None)
+        assert cfg.optim.lrate_decay_steps == 800_000
+        ref = "/root/reference/nerfplusplus/configs/fisheyenerf_high/chairs_ours.txt"
+        if os.path.exists(ref):
+            cfg = load_experiment(ref, warn=lambda *a: None)
+            assert cfg.optim.lrate_decay_steps == 800_000
+
+    def test_nerfpp_autoexpo_lambda_default(self):
+        """Reference default lambda_autoexpo = 1.0 (config_argparser.py:48)."""
+        from scnerf_tpu.core.config import ExperimentConfig
+        from scnerf_tpu.train.nerfpp_step import NerfPPTrainConfig
+
+        assert ExperimentConfig().model.lambda_autoexpo == 1.0
+        assert NerfPPTrainConfig().lambda_autoexpo == 1.0
+
     def test_fern_reference_values(self):
         path = "/root/reference/NeRF/configs/llff_data/fern.txt"
         if not os.path.exists(path):
@@ -318,7 +340,8 @@ class TestDeviceSamplingDriver:
             "N_rand": 32, "N_samples": 8, "N_importance": 8, "netdepth": 3,
             "netwidth": 32, "multires": 4, "multires_views": 2,
             "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
-            "device_sampling": True, "i_print": 100, "i_weights": 1000,
+            "device_sampling": True, "no_batching": True,
+            "i_print": 100, "i_weights": 1000,
             "expname": "dsamp", "basedir": str(tmp_path / "logs"),
         }, warn=lambda *a: None)
         exp = build_experiment(cfg, None)
@@ -654,3 +677,134 @@ class TestNerfPPHeldOutResolution:
         res = evaluate_nerfpp(exp, max_views=1, data=eval_data)
         assert res["split"] == "heldout" and res["n_views"] == 1
         assert np.isfinite(res["psnr"])
+
+
+class TestPresetFaithfulness:
+    """Our published NeRF++ presets must resolve to the SAME experiment
+    settings as the reference's config files (hyperparameters verbatim;
+    only paths/names may differ)."""
+
+    PAIRS = [
+        (f"configs/{fam}/{scene}_ours.txt",
+         f"/root/reference/nerfplusplus/configs/{fam}/{scene}_ours.txt")
+        for fam in ("fisheyenerf", "fisheyenerf_high")
+        for scene in ("chairs", "cube", "flowers", "globe", "heart", "rock")
+    ] + [
+        (f"configs/tanks_and_temples/{s}_ours.txt",
+         f"/root/reference/nerfplusplus/configs/tanks_and_temples/{s}_ours.txt")
+        for s in ("tat_intermediate_M60", "tat_intermediate_Playground",
+                  "tat_intermediate_Train", "tat_training_Truck")
+    ] + [("configs/lf_data/lf_africa.txt",
+          "/root/reference/nerfplusplus/configs/lf_data/lf_africa.txt")]
+
+    FIELDS = [
+        ("sampling", "N_rand"), ("sampling", "chunk"),
+        ("model", "cascade_level"), ("model", "cascade_samples"),
+        ("model", "netdepth"), ("model", "netwidth"),
+        ("model", "multires"), ("model", "multires_views"),
+        ("model", "use_viewdirs"),
+        ("camera", "use_camera"), ("camera", "use_distortion"),
+        ("camera", "run_fisheye"), ("camera", "multiplicative_noise"),
+        ("camera", "add_ie"), ("camera", "add_radial"), ("camera", "add_od"),
+        ("camera", "add_prd"),
+        ("optim", "N_iters"), ("optim", "lrate"),
+        ("optim", "lrate_decay_steps"), ("optim", "lrate_decay_factor"),
+        ("dataset", "normalize_factor"),
+    ]
+
+    def test_presets_resolve_identically(self):
+        n = 0
+        for ours_p, ref_p in self.PAIRS:
+            if not os.path.exists(ref_p):
+                continue
+            ours = load_experiment(ours_p, warn=lambda *a: None)
+            ref = load_experiment(ref_p, warn=lambda *a: None)
+            for section, f in self.FIELDS:
+                a = getattr(getattr(ours, section), f)
+                b = getattr(getattr(ref, section), f)
+                assert a == b, (ours_p, section, f, a, b)
+            n += 1
+        assert n == 17, n
+
+
+class TestBatchingWithCamera:
+    """The published main-table regime: ``no_batching`` unset (batching ON)
+    + camera model (``run_nerf.py:303-305,369-407``) — shuffled global pixel
+    indices drawn as per-ray (image, pixel) triples THROUGH the camera."""
+
+    def _build(self, tmp_path, use_batching=True):
+        import json as _json
+
+        from tests.test_data import write_png
+        from scnerf_tpu.data.blender import pose_spherical
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.driver import build_experiment
+
+        root = tmp_path / "ds"
+        H = W = 16
+        for split, n in [("train", 3), ("val", 1), ("test", 1)]:
+            os.makedirs(root / split, exist_ok=True)
+            frames = []
+            for i in range(n):
+                pose = np.array(pose_spherical(i * 40.0, -30.0, 4.0))
+                img = np.zeros((H, W, 4))
+                img[4:12, 4:12, :3] = [1.0, 0.4, 0.2]
+                img[..., 3] = 1
+                write_png(root / split / f"r_{i}.png", img)
+                frames.append({"file_path": f"./{split}/r_{i}",
+                               "transform_matrix": pose.tolist()})
+            (root / f"transforms_{split}.json").write_text(
+                _json.dumps({"camera_angle_x": 0.69, "frames": frames}))
+        flags = {
+            "dataset_type": "blender", "datadir": str(root),
+            "N_rand": 64, "N_samples": 8, "N_importance": 8,
+            "netdepth": 2, "netwidth": 16, "multires": 4,
+            "multires_views": 2,
+            "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
+            "ray_loss_type": "none",
+        }
+        if not use_batching:
+            flags["no_batching"] = True
+        cfg = experiment_from_flags(flags, warn=lambda *a: None)
+        return build_experiment(cfg, None)
+
+    def test_pixel_pool_decodes_flat_indices(self):
+        from scnerf_tpu.data.batching import PixelPool
+
+        H, W, n_img = 5, 7, 3
+        pool = PixelPool(n_img, H, W, seed=1)
+        seen = set()
+        for _ in range(n_img * H * W // 10):
+            img, px, py = pool.next_batch(10)
+            assert img.shape == px.shape == py.shape == (10,)
+            assert img.max() < n_img and px.max() < W and py.max() < H
+            seen.update(
+                (int(i), int(x), int(y)) for i, x, y in zip(img, px, py))
+        # one epoch covers every (image, pixel) exactly once
+        assert len(seen) == n_img * H * W - (n_img * H * W) % 10
+
+    def test_pixel_pool_epoch_reshuffles(self):
+        from scnerf_tpu.data.batching import PixelPool
+
+        pool = PixelPool(1, 4, 4, seed=2)
+        first = [pool.next_batch(8) for _ in range(2)]
+        assert pool.epoch == 0
+        pool.next_batch(8)
+        assert pool.epoch == 1
+
+    def test_driver_uses_pixel_pool_with_camera_batching(self, tmp_path):
+        from scnerf_tpu.train.driver import sample_batch, train_loop
+
+        exp = self._build(tmp_path, use_batching=True)
+        assert exp.pixel_pool is not None and exp.ray_pool is None
+        batch = sample_batch(exp, 0)
+        assert "img_idx" in batch and batch["img_idx"].shape == (64,)
+        # per-ray image mixing: a 64-ray draw from 3*256 pixels crosses images
+        assert len(np.unique(np.asarray(batch["img_idx"]))) > 1
+        state, metrics = train_loop(exp, n_steps=3)
+        assert int(state.step) == 3
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_no_batching_keeps_per_image_path(self, tmp_path):
+        exp = self._build(tmp_path, use_batching=False)
+        assert exp.pixel_pool is None
