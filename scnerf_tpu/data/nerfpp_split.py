@@ -93,13 +93,31 @@ def load_nerfpp_split(
         if masks.ndim == 4:
             masks = masks[..., 0]
 
+    # Per-pixel minimum sample depths: ``min_depth/*.png`` scaled by the
+    # split-level ``max_depth.txt`` (``nerf_sample_ray_split.py:86-89``:
+    # img/255 * max_depth + 1e-4); used as the fg near bound per ray.
+    min_depths = None
+    md_files = _find(os.path.join(d, "min_depth"), exts=(".png", ".jpg"))
+    max_depth_path = os.path.join(d, "max_depth.txt")
+    if md_files and os.path.exists(max_depth_path):
+        import imageio.v2 as imageio
+
+        max_depth = float(open(max_depth_path).readline().strip())
+        min_depths = np.stack(
+            [np.asarray(imageio.imread(f)).astype(np.float32) / 255.0
+             for f in md_files[::skip]], 0
+        )
+        if min_depths.ndim == 4:
+            min_depths = min_depths[..., 0]
+        min_depths = min_depths * max_depth + 1e-4
+
     return NerfPPSplit(
         images=images,
         intrinsics=intrinsics.astype(np.float32),
         poses=poses.astype(np.float32),
         k=None if k is None else k.astype(np.float32),
         masks=masks,
-        min_depths=None,
+        min_depths=None if min_depths is None else min_depths.astype(np.float32),
         img_names=[os.path.basename(f) for f in (img_files or pose_files)],
         H=H,
         W=W,

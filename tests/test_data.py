@@ -162,6 +162,34 @@ class TestNerfPPSplit:
         d = load_nerfpp_split(nerfpp_dir, "test", testskip=2)
         assert d.poses.shape[0] == 1
 
+    def test_min_depth_scaled_by_max_depth(self, nerfpp_dir, tmp_path):
+        """min_depth/*.png scale by max_depth.txt + 1e-4
+        (nerf_sample_ray_split.py:86-89)."""
+        import os
+        import numpy as np
+
+        d0 = os.path.join(nerfpp_dir, "train")
+        os.makedirs(os.path.join(d0, "min_depth"), exist_ok=True)
+        rng = np.random.RandomState(5)
+        raw = []
+        for i in range(3):
+            img = rng.rand(16, 16)
+            write_png(os.path.join(d0, "min_depth", f"{i:05d}.png"),
+                      img[..., None].repeat(3, -1))
+        open(os.path.join(d0, "max_depth.txt"), "w").write("2.5\n")
+        d = load_nerfpp_split(nerfpp_dir, "train")
+        assert d.min_depths is not None and d.min_depths.shape == (3, 16, 16)
+        assert d.min_depths.min() >= 1e-4
+        assert d.min_depths.max() <= 2.5 + 1e-3
+        # quantized-png roundtrip: values are k/255 * 2.5 + 1e-4
+        q = np.round(d.min_depths * 255.0 / 2.5).astype(int)
+        np.testing.assert_allclose(d.min_depths, q / 255.0 * 2.5 + 1e-4,
+                                   atol=2e-3)
+
+    def test_min_depth_absent_stays_none(self, nerfpp_dir):
+        d = load_nerfpp_split(nerfpp_dir, "train")
+        assert d.min_depths is None
+
 
 class TestBatching:
     def test_ray_pool_epoch_reshuffle(self):
