@@ -209,7 +209,7 @@ def reference_sift_matches(img0: np.ndarray, img1: np.ndarray):
 def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
                   camera: bool = False, ndc: bool = False, prd: bool = False,
                   blender: bool = False, custom_optim: bool = False,
-                  batching: bool = False):
+                  batching: bool = False, scratch: bool = False):
     """Run the real reference trainer in a subprocess; returns (mse (n,2)
     fine/coarse, final coarse+fine[+camera] params in OUR layout)."""
     out_npz = os.path.join(workdir, "ref_out.npz")
@@ -257,6 +257,11 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
         # (create_nerf.py:199-336; demo.sh --non_linear_weight_decay 0.1).
         flags += ["--use_custom_optim", "True",
                   "--non_linear_weight_decay", str(WEIGHT_DECAY)]
+    if scratch:
+        # main_table_1 "from scratch" protocol: train poses wiped to
+        # identity R / zero t (load_llff.py:347-360) and the camera seeded
+        # at fx=W, fy=H, cx=W/2, cy=H/2 (create_nerf.py:97-109).
+        flags += ["--run_without_colmap", "both"]
     spec = {"flags": flags, "n_steps": n_steps, "out_npz": out_npz,
             "workdir": workdir}
     spec_path = os.path.join(workdir, "ref_spec.json")
@@ -289,7 +294,7 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
 def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
              camera: bool = False, ndc: bool = False, prd: bool = False,
              blender: bool = False, custom_optim: bool = False,
-             batching: bool = False):
+             batching: bool = False, scratch: bool = False):
     """Run our trainer on the identical workload; returns (loss, psnr,
     final params). ``loss`` is the PHOTOMETRIC part (fine + coarse mse),
     matching what the reference-side tap records."""
@@ -304,7 +309,12 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
 
     if blender:
         return _run_ours_blender(scene_dir, n_steps, model_cfg, init_params)
-    d = load_llff(scene_dir, factor=1, llffhold=8)
+    noise_cfg = None
+    if scratch:
+        from scnerf_tpu.data.noise import NoiseConfig
+
+        noise_cfg = NoiseConfig(run_without_colmap="both")
+    d = load_llff(scene_dir, factor=1, llffhold=8, noise=noise_cfg)
     if prd:
         return _run_ours_prd(d, n_steps, model_cfg, init_params)
     if batching:
@@ -320,11 +330,15 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
     px, py = (idx % W).astype(np.float32), (idx // W).astype(np.float32)
     if camera:
         # Learnable camera over the train split, initialised exactly like
-        # the reference's create_nerf camera path (noisy K/E, zero noises).
+        # the reference's create_nerf camera path (noisy K/E, zero noises;
+        # colmap-free: fx=W, fy=H — create_nerf.py:97-109).
         from scnerf_tpu.camera import CameraConfig, OPENGL, init_camera
 
         K_init = d.gt_intrinsic.copy()
-        K_init[0, 0] = K_init[1, 1] = d.noisy_focal
+        if scratch:
+            K_init[0, 0], K_init[1, 1] = float(W), float(H)
+        else:
+            K_init[0, 0] = K_init[1, 1] = d.noisy_focal
         cam = init_camera(
             K_init, d.noisy_poses[[train_idx]],
             # NeRF-pipeline reference defaults (config_argparse.py):
@@ -646,7 +660,7 @@ def tree_max_diff(a, b) -> float:
 def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = None,
          camera: bool = False, ndc: bool = False, prd: bool = False,
          blender: bool = False, custom_optim: bool = False,
-         batching: bool = False):
+         batching: bool = False, scratch: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -660,6 +674,8 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
     if batching:
         camera = True  # the published combination (see _run_ours_batching)
         N_IMAGES = 3  # 2 train images -> per-batch image mixing
+    if scratch:
+        camera = True  # self-calibration from scratch needs the camera
     workdir = workdir or tempfile.mkdtemp(prefix="ref_parity_")
     scene = os.path.join(workdir, "scene")
     (build_blender_scene if blender else build_scene)(scene)
@@ -669,11 +685,11 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
 
     print(f"[ref_parity] scene={scene} steps={n_steps} camera={camera} "
           f"ndc={ndc} prd={prd} blender={blender} custom_optim={custom_optim} "
-          f"batching={batching}")
+          f"batching={batching} scratch={scratch}")
     ref_mse, ref_final = run_reference(scene, n_steps, init_tar, workdir,
                                        camera=camera, ndc=ndc, prd=prd,
                                        blender=blender, custom_optim=custom_optim,
-                                       batching=batching)
+                                       batching=batching, scratch=scratch)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
 
@@ -681,7 +697,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
                                              init_params, camera=camera, ndc=ndc,
                                              prd=prd, blender=blender,
                                              custom_optim=custom_optim,
-                                             batching=batching)
+                                             batching=batching, scratch=scratch)
 
     rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
     w_diff = {
@@ -702,6 +718,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         "blender": bool(blender),
         "custom_optim": bool(custom_optim),
         "batching": bool(batching),
+        "scratch": bool(scratch),
         "n_steps": n_steps,
         "loss_rel_diff": {
             "step0": float(rel[0]),
@@ -745,6 +762,10 @@ if __name__ == "__main__":
                     help="use_batching + camera: the published LLFF "
                          "main-table sampling path (shuffled global pixel "
                          "pool, per-ray image indices)")
+    ap.add_argument("--scratch", action="store_true",
+                    help="main_table_1 from-scratch protocol: "
+                         "run_without_colmap both + fx=W/fy=H camera seed")
     a = ap.parse_args()
     main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc, prd=a.prd,
-         blender=a.blender, custom_optim=a.custom_optim, batching=a.batching)
+         blender=a.blender, custom_optim=a.custom_optim, batching=a.batching,
+         scratch=a.scratch)
