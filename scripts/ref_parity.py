@@ -52,6 +52,8 @@ SAMPLES = dict(n_samples=12, n_importance=12)
 LR, LR_DECAY = 5e-4, 250  # reference units: decay_steps = lrate_decay * 1000
 WEIGHT_DECAY = 0.1  # --custom_optim regime: demo.sh's non_linear_weight_decay
 N_RAND_BATCHING = 256  # --batching regime: divides 2*H*W so no short batch
+# --noise regime: the calibration_ablation protocol's injected noise sizes
+NOISE_SIZES = dict(intrinsic=0.1, rotation=2.0, translation=0.05)
 
 
 def scene_image(i: int) -> np.ndarray:
@@ -209,7 +211,8 @@ def reference_sift_matches(img0: np.ndarray, img1: np.ndarray):
 def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
                   camera: bool = False, ndc: bool = False, prd: bool = False,
                   blender: bool = False, custom_optim: bool = False,
-                  batching: bool = False, scratch: bool = False):
+                  batching: bool = False, scratch: bool = False,
+                  noise: bool = False):
     """Run the real reference trainer in a subprocess; returns (mse (n,2)
     fine/coarse, final coarse+fine[+camera] params in OUR layout)."""
     out_npz = os.path.join(workdir, "ref_out.npz")
@@ -262,6 +265,13 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
         # identity R / zero t (load_llff.py:347-360) and the camera seeded
         # at fx=W, fy=H, cx=W/2, cy=H/2 (create_nerf.py:97-109).
         flags += ["--run_without_colmap", "both"]
+    if noise:
+        # Synthetic noise injection (load_llff.py:318-345): focal scaled by
+        # (1+s) on train rows, random axis-angle rotation, uniform
+        # translation — drawn from the fresh seed-777 np stream.
+        flags += ["--initial_noise_size_intrinsic", str(NOISE_SIZES["intrinsic"]),
+                  "--initial_noise_size_rotation", str(NOISE_SIZES["rotation"]),
+                  "--initial_noise_size_translation", str(NOISE_SIZES["translation"])]
     spec = {"flags": flags, "n_steps": n_steps, "out_npz": out_npz,
             "workdir": workdir}
     spec_path = os.path.join(workdir, "ref_spec.json")
@@ -294,7 +304,8 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
 def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
              camera: bool = False, ndc: bool = False, prd: bool = False,
              blender: bool = False, custom_optim: bool = False,
-             batching: bool = False, scratch: bool = False):
+             batching: bool = False, scratch: bool = False,
+             noise: bool = False):
     """Run our trainer on the identical workload; returns (loss, psnr,
     final params). ``loss`` is the PHOTOMETRIC part (fine + coarse mse),
     matching what the reference-side tap records."""
@@ -309,12 +320,21 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
 
     if blender:
         return _run_ours_blender(scene_dir, n_steps, model_cfg, init_params)
-    noise_cfg = None
+    noise_cfg, noise_rng = None, None
     if scratch:
         from scnerf_tpu.data.noise import NoiseConfig
 
         noise_cfg = NoiseConfig(run_without_colmap="both")
-    d = load_llff(scene_dir, factor=1, llffhold=8, noise=noise_cfg)
+    if noise:
+        from scnerf_tpu.data.noise import NoiseConfig
+
+        # identical stream to the reference loader: fresh seed-777 numpy
+        noise_cfg = NoiseConfig(intrinsic_scale=NOISE_SIZES["intrinsic"],
+                                rotation_deg=NOISE_SIZES["rotation"],
+                                translation=NOISE_SIZES["translation"])
+        noise_rng = np.random.RandomState(777)
+    d = load_llff(scene_dir, factor=1, llffhold=8, noise=noise_cfg,
+                  rng=noise_rng)
     if prd:
         return _run_ours_prd(d, n_steps, model_cfg, init_params)
     if batching:
@@ -660,7 +680,7 @@ def tree_max_diff(a, b) -> float:
 def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = None,
          camera: bool = False, ndc: bool = False, prd: bool = False,
          blender: bool = False, custom_optim: bool = False,
-         batching: bool = False, scratch: bool = False):
+         batching: bool = False, scratch: bool = False, noise: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -676,6 +696,8 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         N_IMAGES = 3  # 2 train images -> per-batch image mixing
     if scratch:
         camera = True  # self-calibration from scratch needs the camera
+    if noise:
+        camera = True  # noisy-start self-calibration
     workdir = workdir or tempfile.mkdtemp(prefix="ref_parity_")
     scene = os.path.join(workdir, "scene")
     (build_blender_scene if blender else build_scene)(scene)
@@ -685,11 +707,12 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
 
     print(f"[ref_parity] scene={scene} steps={n_steps} camera={camera} "
           f"ndc={ndc} prd={prd} blender={blender} custom_optim={custom_optim} "
-          f"batching={batching} scratch={scratch}")
+          f"batching={batching} scratch={scratch} noise={noise}")
     ref_mse, ref_final = run_reference(scene, n_steps, init_tar, workdir,
                                        camera=camera, ndc=ndc, prd=prd,
                                        blender=blender, custom_optim=custom_optim,
-                                       batching=batching, scratch=scratch)
+                                       batching=batching, scratch=scratch,
+                                       noise=noise)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
 
@@ -697,7 +720,8 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
                                              init_params, camera=camera, ndc=ndc,
                                              prd=prd, blender=blender,
                                              custom_optim=custom_optim,
-                                             batching=batching, scratch=scratch)
+                                             batching=batching, scratch=scratch,
+                                             noise=noise)
 
     rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
     w_diff = {
@@ -719,6 +743,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         "custom_optim": bool(custom_optim),
         "batching": bool(batching),
         "scratch": bool(scratch),
+        "noise": bool(noise),
         "n_steps": n_steps,
         "loss_rel_diff": {
             "step0": float(rel[0]),
@@ -765,7 +790,10 @@ if __name__ == "__main__":
     ap.add_argument("--scratch", action="store_true",
                     help="main_table_1 from-scratch protocol: "
                          "run_without_colmap both + fx=W/fy=H camera seed")
+    ap.add_argument("--noise", action="store_true",
+                    help="injected-noise start: initial_noise_size_* with "
+                         "the loader's RNG stream replayed")
     a = ap.parse_args()
     main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc, prd=a.prd,
          blender=a.blender, custom_optim=a.custom_optim, batching=a.batching,
-         scratch=a.scratch)
+         scratch=a.scratch, noise=a.noise)
