@@ -84,6 +84,10 @@ class ModelConfig:
     autoexpo: bool = False
     lambda_autoexpo: float = 1.0  # reference default (config_argparser.py:48)
     compute_dtype: str = "float32"
+    # Weight the NeRF++ TRAIN loss by dataset masks. The reference never
+    # does (masks are eval-only there; ddp_train_nerf.py:485-489) — this is
+    # an opt-in extension, hence default False.
+    mask_train_loss: bool = False
 
 
 @dataclass

@@ -219,7 +219,12 @@ def nerfpp_sample_batch(exp: NerfPPExperiment) -> dict:
             jnp.asarray(train.intrinsics[img_i]), jnp.asarray(train.poses[img_i]),
             batch["px"], batch["py"],
         )
-    if train.masks is not None:
+    if train.masks is not None and cfg.model.mask_train_loss:
+        # Opt-in divergence: the reference trains UNMASKED — masks ride in
+        # its ray batch but img2mse never receives them
+        # (ddp_train_nerf.py:485-489 vs utils.py:12-16); they only weight
+        # eval metrics (ddp_test_nerf.py calculate_metrics). We keep the
+        # same default and expose masked training as a flag.
         batch["mask"] = jnp.asarray(train.masks[img_i, pyi, pxi], jnp.float32)
     if train.min_depths is not None:
         batch["min_depth"] = jnp.asarray(train.min_depths[img_i, pyi, pxi], jnp.float32)
