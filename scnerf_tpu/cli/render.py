@@ -147,12 +147,21 @@ def _render_nerfpp(cfg, expdir, ckpt_dir, out_dir, args):
     if restored is not None:
         exp.state = restored
         print(f"[render] restored step {int(restored.step)}")
-    res = evaluate_nerfpp(exp, max_views=args.max_views)
+    from scnerf_tpu.train.nerfpp_driver import _held_out_data
+
+    data = _held_out_data(exp) if args.split != "train" else exp.train_data
+    res = evaluate_nerfpp(exp, max_views=args.max_views, data=data)
     extra = f" lpips={res['lpips']:.4f}" if "lpips" in res else ""
     print(f"[eval] psnr={res['psnr']:.2f} ssim={res['ssim']:.4f} "
           f"views={res['n_views']} split={res['split']}{extra}")
     for i in range(res["n_views"]):
-        out = render_nerfpp_image(exp, img_idx=i)
+        # dump the SAME views the metrics were computed on
+        if data is not None:
+            out = render_nerfpp_image(exp, c2w=data.poses[i],
+                                      K=data.intrinsics[i],
+                                      hw=(data.H, data.W))
+        else:
+            out = render_nerfpp_image(exp, img_idx=i)
         imageio.imwrite(os.path.join(out_dir, f"{i:03d}.png"), to8b(out["rgb"]))
         imageio.imwrite(os.path.join(out_dir, f"{i:03d}_fg.png"), to8b(out["fg_rgb"]))
         imageio.imwrite(os.path.join(out_dir, f"{i:03d}_bg.png"), to8b(out["bg_rgb"]))

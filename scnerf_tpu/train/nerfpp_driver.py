@@ -368,7 +368,7 @@ def evaluate_nerfpp(exp: NerfPPExperiment, max_views: int | None = 2,
 
     data = data if data is not None else _held_out_data(exp)
     split = "heldout"
-    if data is None:
+    if data is None or data is exp.train_data:
         data, split = exp.train_data, "train"
     n = data.poses.shape[0] if max_views is None else min(max_views, data.poses.shape[0])
     lpips_w = load_weights() if lpips_available() else None
