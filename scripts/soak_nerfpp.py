@@ -27,18 +27,21 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
 def build_soak_scene(datadir: str, n_train: int = 6, H: int = 120,
-                     W: int = 160) -> str:
+                     W: int = 160, fisheye: bool = False) -> str:
     import ref_parity_nerfpp as rp
 
     rp.H, rp.W, rp.FOCAL = H, W, 0.9 * W
     rp.N_TRAIN, rp.TEXTURE = n_train, True
+    if fisheye:
+        rp.DIST_K = (-0.12, 0.04)  # 18-float intrinsics (k1, k2)
     return rp.build_scene(datadir)
 
 
-def main(n_steps: int, out_json: str | None, workdir: str | None):
+def main(n_steps: int, out_json: str | None, workdir: str | None,
+         fisheye: bool = False):
     workdir = workdir or tempfile.mkdtemp(prefix="soak_nerfpp_")
     datadir = os.path.join(workdir, "data")
-    scene = build_soak_scene(datadir)
+    scene = build_soak_scene(datadir, fisheye=fisheye)
 
     from scnerf_tpu.core.config import ExperimentConfig
     from scnerf_tpu.train.nerfpp_driver import (
@@ -61,6 +64,14 @@ def main(n_steps: int, out_json: str | None, workdir: str | None):
     cfg.camera.add_od = 1000
     cfg.camera.add_prd = 2000
     cfg.camera.i_ray_dist_loss = 10
+    if fisheye:
+        # Published fisheye run shape: Distortion camera (tied ray noise),
+        # multiplicative K, radial curriculum, PRD off (run_fisheye).
+        cfg.camera.camera_model = "fisheye"
+        cfg.camera.run_fisheye = True
+        cfg.camera.multiplicative_noise = True
+        cfg.camera.ray_loss_type = "none"
+        cfg.camera.add_radial = 500
     cfg.optim.lrate_decay_steps = 750_000
     cfg.logging.expname = "soak"
     cfg.logging.basedir = workdir
@@ -96,6 +107,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None):
     ev = evaluate_nerfpp(exp, max_views=1)
     report = {
         "n_steps": n_steps + extra,
+        "fisheye": bool(fisheye),
         "n_rand": cfg.sampling.N_rand,
         "train_rays_per_sec_incl_compile": round(
             n_steps * cfg.sampling.N_rand / total_dt, 1),
@@ -119,5 +131,8 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("--fisheye", action="store_true",
+                    help="soak the fisheye pipeline (distortion camera, "
+                         "tied ray noise, multiplicative K)")
     a = ap.parse_args()
-    main(a.steps, a.out, a.workdir)
+    main(a.steps, a.out, a.workdir, fisheye=a.fisheye)

@@ -808,3 +808,60 @@ class TestBatchingWithCamera:
     def test_no_batching_keeps_per_image_path(self, tmp_path):
         exp = self._build(tmp_path, use_batching=False)
         assert exp.pixel_pool is None
+
+
+class TestFisheyeDriver:
+    """NeRF++ driver wiring for camera_model=fisheye: Distortion variant
+    with k from 18-float intrinsics, tied ray-noise grids, multiplicative
+    K noise (reference create_nerf.py:27-34 + camera_model.py:209-312)."""
+
+    def _scene(self, tmp_path):
+        from tests.test_data import write_png
+
+        rng = np.random.RandomState(0)
+        root = tmp_path / "fe"
+        H = W = 16
+        for sub in ["rgb", "intrinsics", "pose"]:
+            os.makedirs(root / "train" / sub, exist_ok=True)
+        K = np.eye(4)
+        K[0, 0] = K[1, 1] = 14.0
+        K[0, 2], K[1, 2] = W / 2, H / 2
+        for i in range(2):
+            write_png(root / "train" / "rgb" / f"{i:05d}.png", rng.rand(H, W, 3))
+            vals = list(K.reshape(-1)) + [-0.12, 0.04]
+            (root / "train" / "intrinsics" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, vals)))
+            pose = np.eye(4)
+            pose[:3, 3] = [0.05 * i, 0.0, -0.3]
+            (root / "train" / "pose" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, pose.reshape(-1))))
+        return str(root)
+
+    def test_fisheye_experiment_builds_distortion_camera(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from scnerf_tpu.train.nerfpp_driver import (
+            build_nerfpp_experiment,
+            nerfpp_sample_batch,
+        )
+
+        cfg = experiment_from_flags({
+            "dataset_type": "nerfpp", "datadir": self._scene(tmp_path),
+            "N_rand": 32, "cascade_samples": "4,4", "netdepth": 2,
+            "netwidth": 16, "max_freq_log2": 2, "max_freq_log2_viewdirs": 2,
+            "camera_model": "fisheye", "run_fisheye": True,
+            "multiplicative_noise": True,
+        }, warn=lambda *a: None)
+        exp = build_nerfpp_experiment(cfg)
+        cam = exp.state.params["camera"]
+        assert cam.config.use_distortion and cam.config.tied_ray_noise
+        assert cam.config.multiplicative_noise
+        np.testing.assert_allclose(np.asarray(cam.distortion_init),
+                                   [-0.12, 0.04], atol=1e-6)
+        assert exp.step_prd_fn is None  # run_fisheye disables PRD
+        b = nerfpp_sample_batch(exp)
+        state, metrics = exp.step_fn(
+            exp.state, {k: jnp.asarray(v) for k, v in b.items()},
+            jax.random.key(0))
+        assert np.isfinite(float(metrics["loss"]))
