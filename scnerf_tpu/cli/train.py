@@ -35,7 +35,17 @@ def parse_cli(argv=None):
 
 def main(argv=None):
     args, overrides = parse_cli(argv)
-    from scnerf_tpu.core.config import load_experiment
+    from scnerf_tpu.core.config import _truthy, load_experiment
+
+    # Reference train-binary modes (config_argparse.py:65-68;
+    # run_nerf.py:247-283): --render_only renders instead of training,
+    # --render_test picks the test split over the spiral render path.
+    if _truthy(overrides.pop("render_only", False)):
+        from scnerf_tpu.cli.render import main as render_main
+
+        split = "test" if _truthy(overrides.pop("render_test", False)) else "path"
+        return render_main(["--config", args.config, "--split", split])
+    overrides.pop("render_test", None)
 
     cfg = load_experiment(args.config, overrides)
     expdir = os.path.join(cfg.logging.basedir, cfg.logging.expname)

@@ -865,3 +865,23 @@ class TestFisheyeDriver:
             exp.state, {k: jnp.asarray(v) for k, v in b.items()},
             jax.random.key(0))
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestRenderOnlyShim:
+    def test_render_only_delegates_to_render_cli(self, monkeypatch, tmp_path):
+        """--render_only on the TRAIN entry renders instead of training
+        (run_nerf.py:247-283); --render_test selects the test split."""
+        import scnerf_tpu.cli.train as train_cli
+
+        calls = []
+        import scnerf_tpu.cli.render as render_cli
+
+        monkeypatch.setattr(render_cli, "main",
+                            lambda argv: calls.append(argv) or 0)
+        cfg_path = tmp_path / "c.txt"
+        cfg_path.write_text("datadir = /nonexistent\ndataset_type = llff\n")
+        rc = train_cli.main(["--config", str(cfg_path), "--render_only"])
+        assert rc == 0 and "path" in calls[0]
+        rc = train_cli.main(["--config", str(cfg_path), "--render_only",
+                             "--render_test"])
+        assert rc == 0 and "test" in calls[1]
