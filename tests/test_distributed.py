@@ -147,3 +147,28 @@ class TestNerfPPSharded:
         params_r = replicate_state(mesh, params)
         out = render_chunked(params_r, model_cfg, render_cfg, sharded["o"], sharded["d"], sharded["v"], 2.0, 6.0, key)
         np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=1e-5)
+
+
+class TestPixelPoolSharded:
+    def test_mixed_image_batch_shards_and_matches(self, eight_devices):
+        """The batching+camera path (PixelPool) produces per-ray MIXED
+        image indices; the sharded step must gather per-shard extrinsics
+        correctly and reproduce the single-device update."""
+        state, step, batch = small_problem()
+        n = batch["px"].shape[0]
+        # camera table in small_problem has >=2 images? use modulo of its size
+        n_img = state.params["camera"].extrinsics_init.shape[0]
+        mixed = (np.arange(n) % n_img).astype(np.int32)
+        batch = dict(batch, img_idx=jax.numpy.asarray(mixed))
+
+        ref_state, ref_metrics = step(state, batch, jax.random.key(0))
+        mesh = make_mesh()
+        out_state, out_metrics = step(
+            replicate_state(mesh, state), shard_batch(mesh, batch),
+            jax.random.key(0))
+        np.testing.assert_allclose(float(out_metrics["loss"]),
+                                   float(ref_metrics["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(out_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
