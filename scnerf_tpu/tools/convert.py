@@ -68,7 +68,16 @@ def torch_nerfnet_to_params(state_dict: dict, depth: int = 8) -> dict:
 
 
 def torch_camera_to_fields(state_dict: dict) -> dict:
-    """Reference camera model state dict -> kwargs for ``Camera.replace``."""
+    """Reference camera model state dict -> kwargs for ``Camera.replace``.
+
+    Distortion-variant checkpoints (detected by ``distortion_noise``) carry
+    the tied ray-noise quirk: ``ray_o_noise`` and ``ray_d_noise`` alias ONE
+    torch buffer, so both saved tensors equal the shared value ``s``
+    (``camera_model.py:224,258-262``). Our tied camera reads each path as
+    ``own_grid + stop_gradient(other_grid)``, i.e. the effective value is
+    the SUM of the two leaves — so the shared tensor maps to
+    ``ray_o_grid = s, ray_d_grid = 0`` (mapping both leaves to ``s`` would
+    double the noise)."""
     sd = {k.replace("module.", ""): np.asarray(v) for k, v in state_dict.items()}
     mapping = {
         "intrinsics_initial": "intrinsics_init",
@@ -80,8 +89,11 @@ def torch_camera_to_fields(state_dict: dict) -> dict:
         "ray_o_noise": "ray_o_grid",
         "ray_d_noise": "ray_d_grid",
     }
-    return {ours: jnp.asarray(sd[theirs]) for theirs, ours in mapping.items()
-            if theirs in sd}
+    out = {ours: jnp.asarray(sd[theirs]) for theirs, ours in mapping.items()
+           if theirs in sd}
+    if "distortion_noise" in sd and "ray_d_noise" in sd:
+        out["ray_d_grid"] = jnp.zeros_like(out["ray_d_grid"])
+    return out
 
 
 def params_to_torch_nerf(params: dict, prefix: str = "module.") -> dict:

@@ -590,8 +590,10 @@ def main(n_steps: int = 150, out_json: str | None = None,
         for f, v in ref_final["camera_fields"].items():
             if getattr(cam, f, None) is None:
                 continue
+            if fisheye and f == "ray_d_grid":
+                continue  # zeroed alias of the tied buffer (see convert.py)
             ours_v = np.asarray(getattr(cam, f))
-            if fisheye and f in ("ray_o_grid", "ray_d_grid"):
+            if fisheye and f == "ray_o_grid":
                 # tied-ray-noise emulation: the torch shared buffer equals
                 # the SUM of our two leaves (see CameraConfig.tied_ray_noise)
                 ours_v = np.asarray(cam.ray_o_grid) + np.asarray(cam.ray_d_grid)

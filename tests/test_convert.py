@@ -4,6 +4,7 @@ import sys
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from tests.test_reference_parity import _load_ref_module
 
@@ -218,3 +219,60 @@ class TestReferenceCheckpointLoading:
         got = exp.state.params["coarse"]
         for a, b in zip(jax.tree.leaves(marker["coarse"]), jax.tree.leaves(got)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTiedCameraCheckpointConversion:
+    def test_distortion_ckpt_maps_shared_buffer_once(self):
+        """A reference Distortion-camera state dict stores the SAME tensor
+        as both ray_o_noise and ray_d_noise (aliased storage). Converting
+        must not double it: tied cameras read leaf sums, so the shared
+        value lands in ray_o_grid with ray_d_grid zeroed."""
+        from scnerf_tpu.camera import CameraConfig, OPENCV, init_camera, pixels_to_rays
+        from scnerf_tpu.tools.convert import torch_camera_to_fields
+
+        rng = np.random.RandomState(0)
+        s = rng.randn(4, 6, 3).astype(np.float32)
+        H, W = 40, 60
+        sd = {
+            "intrinsics_initial": np.array([50.0, 55.0, 30.0, 20.0], np.float32),
+            "extrinsics_initial": rng.randn(2, 9).astype(np.float32),
+            "distortion_initial": np.array([-0.1, 0.02], np.float32),
+            "intrinsics_noise": rng.randn(4).astype(np.float32) * 1e-3,
+            "extrinsics_noise": rng.randn(2, 9).astype(np.float32) * 1e-3,
+            "distortion_noise": rng.randn(2).astype(np.float32) * 1e-3,
+            "ray_o_noise": s,
+            "ray_d_noise": s.copy(),  # aliased in torch -> equal when saved
+        }
+        fields = torch_camera_to_fields(sd)
+        np.testing.assert_array_equal(np.asarray(fields["ray_o_grid"]), s)
+        np.testing.assert_array_equal(np.asarray(fields["ray_d_grid"]), 0.0)
+
+        cfg = CameraConfig(H=H, W=W, grid_size=10, convention=OPENCV,
+                           pixel_offset=0.5, use_distortion=True,
+                           tied_ray_noise=True)
+        K = np.array([[50.0, 0, 30, 0], [0, 55.0, 20, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]])
+        E = np.stack([np.eye(4)] * 2)
+        E[:, 2, 3] = -0.5
+        cam = init_camera(K, E, cfg).replace(**fields)
+        # effective noise must equal the torch shared value s, not 2s:
+        # compare against an untied camera holding s in both grids (whose
+        # paths each read their own grid = s).
+        cam_ref = init_camera(K, E, cfg.replace(tied_ray_noise=False)).replace(
+            **dict(fields, ray_o_grid=jnp.asarray(s), ray_d_grid=jnp.asarray(s)))
+        px = jnp.asarray([3.0, 25.0, 50.0])
+        py = jnp.asarray([2.0, 15.0, 33.0])
+        ro_t, rd_t = pixels_to_rays(cam, px, py, image_idx=0)
+        ro_r, rd_r = pixels_to_rays(cam_ref, px, py, image_idx=0)
+        np.testing.assert_allclose(np.asarray(ro_t), np.asarray(ro_r), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(rd_t), np.asarray(rd_r), rtol=1e-6)
+
+    def test_untied_ckpt_keeps_both_grids(self):
+        from scnerf_tpu.tools.convert import torch_camera_to_fields
+
+        rng = np.random.RandomState(1)
+        a, b = rng.randn(2, 4, 6, 3).astype(np.float32)
+        sd = {"ray_o_noise": a, "ray_d_noise": b}  # no distortion keys
+        fields = torch_camera_to_fields(sd)
+        np.testing.assert_array_equal(np.asarray(fields["ray_o_grid"]), a)
+        np.testing.assert_array_equal(np.asarray(fields["ray_d_grid"]), b)
