@@ -180,7 +180,10 @@ def camera_fields_to_torch(camera) -> dict:
     """Our ``Camera`` pytree -> reference camera-model state dict (numpy).
 
     Inverse of :func:`torch_camera_to_fields`; only fields the given camera
-    actually carries (non-None) are emitted."""
+    actually carries (non-None) are emitted. Tied cameras
+    (``config.tied_ray_noise``) export the effective shared value — the SUM
+    of the two leaves — as both ray-noise entries, matching the reference's
+    aliased-storage layout."""
     mapping = {
         "intrinsics_init": "intrinsics_initial",
         "extrinsics_init": "extrinsics_initial",
@@ -196,6 +199,12 @@ def camera_fields_to_torch(camera) -> dict:
         v = getattr(camera, ours, None)
         if v is not None:
             out[theirs] = np.asarray(v)
+    cfg = getattr(camera, "config", None)
+    if cfg is not None and getattr(cfg, "tied_ray_noise", False) and \
+            "ray_o_noise" in out and "ray_d_noise" in out:
+        s = out["ray_o_noise"] + out["ray_d_noise"]
+        out["ray_o_noise"] = s
+        out["ray_d_noise"] = s.copy()
     return out
 
 

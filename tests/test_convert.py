@@ -276,3 +276,33 @@ class TestTiedCameraCheckpointConversion:
         fields = torch_camera_to_fields(sd)
         np.testing.assert_array_equal(np.asarray(fields["ray_o_grid"]), a)
         np.testing.assert_array_equal(np.asarray(fields["ray_d_grid"]), b)
+
+    def test_tied_camera_exports_shared_sum(self):
+        """fields->torch roundtrip for tied cameras: both ray entries get
+        the leaf SUM (the effective shared value)."""
+        from scnerf_tpu.camera import CameraConfig, OPENCV, init_camera
+        from scnerf_tpu.tools.convert import (
+            camera_fields_to_torch,
+            torch_camera_to_fields,
+        )
+
+        rng = np.random.RandomState(2)
+        cfg = CameraConfig(H=40, W=60, grid_size=10, convention=OPENCV,
+                           pixel_offset=0.5, use_distortion=True,
+                           tied_ray_noise=True)
+        K = np.array([[50.0, 0, 30, 0], [0, 55.0, 20, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]])
+        E = np.stack([np.eye(4)] * 2)
+        E[:, 2, 3] = -0.5
+        a = rng.randn(4, 6, 3).astype(np.float32)
+        b = rng.randn(4, 6, 3).astype(np.float32)
+        cam = init_camera(K, E, cfg, k=np.array([-0.1, 0.02])).replace(
+            ray_o_grid=jnp.asarray(a), ray_d_grid=jnp.asarray(b))
+        sd = camera_fields_to_torch(cam)
+        np.testing.assert_allclose(sd["ray_o_noise"], a + b, rtol=1e-6)
+        np.testing.assert_allclose(sd["ray_d_noise"], a + b, rtol=1e-6)
+        # and converting back yields the same effective value once
+        back = torch_camera_to_fields(sd)
+        np.testing.assert_allclose(
+            np.asarray(back["ray_o_grid"]) + np.asarray(back["ray_d_grid"]),
+            a + b, rtol=1e-6)
