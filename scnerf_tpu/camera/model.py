@@ -230,6 +230,37 @@ def ray_d_noise_at(camera: Camera, px, py) -> jnp.ndarray:
 # Logging (reference: CameraModel.log_noises, camera_model.py:54-117)
 # --------------------------------------------------------------------------
 
+def camera_log_images(camera: Camera) -> dict:
+    """Image summaries mirroring ``log_noises``'s wandb.Image dashboard
+    (``camera_model.py:96-113``): the rayo/rayd noise grids rendered as
+    min-max-normalized RGB (``to_pil_normalize``, ``camera_utils.py:66-76``)
+    plus, for distortion cameras, the radial warp magnitude field."""
+    import numpy as np
+
+    def normalize(g):
+        g = np.asarray(g, np.float32)
+        lo, hi = g.min(), g.max()
+        return (g - lo) / (hi - lo) if hi > lo else np.zeros_like(g)
+
+    o_grid, d_grid = camera.ray_o_grid, camera.ray_d_grid
+    if camera.config.tied_ray_noise:
+        o_grid = d_grid = o_grid + d_grid  # the shared effective value
+    out = {
+        "camera/ray_o_noise": normalize(o_grid),
+        "camera/ray_d_noise": normalize(d_grid),
+    }
+    if camera.config.use_distortion:
+        from scnerf_tpu.tools.visualize import radial_distortion_field
+
+        k = np.asarray(get_distortion(camera))
+        field = radial_distortion_field(
+            k, max(camera.config.H, 2), max(camera.config.W, 2))
+        f3 = normalize(field)
+        out["camera/radial_field"] = np.repeat(f3[..., None], 3, axis=-1) \
+            if f3.ndim == 2 else f3
+    return out
+
+
 def camera_log_dict(camera: Camera, gt_K=None, gt_E=None) -> dict:
     """Scalar diagnostics mirroring the reference's wandb dashboard."""
     K = get_intrinsic(camera)

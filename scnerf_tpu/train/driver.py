@@ -474,13 +474,16 @@ def train_loop(
             ):
                 render_training_video(exp, step_now)
             if step_now % cfg.logging.camera_log == 0 and exp.state.params.get("camera") is not None:
-                from scnerf_tpu.camera.model import camera_log_dict
+                from scnerf_tpu.camera.model import camera_log_dict, camera_log_images
 
                 exp.logger.log(
                     step_now,
                     camera_log_dict(
                         exp.state.params["camera"], gt_K=exp.gt_intrinsic
                     ),
+                )
+                exp.logger.log_images(
+                    step_now, camera_log_images(exp.state.params["camera"])
                 )
     return exp.state, metrics
 

@@ -61,6 +61,32 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log({k: v for k, v in row.items() if k != "step"}, step=step)
 
+    def log_images(self, step: int, images: dict[str, Any]) -> None:
+        """Image summaries (the reference's wandb.Image dashboards,
+        ``camera_model.py:54-117`` + ``ddp_train_nerf.py:259-294``): each
+        (H, W, 3) float [0,1] array is written to ``expdir/images/`` and,
+        when wandb is attached, logged as a wandb.Image."""
+        if not self._active or not images:
+            return
+        import numpy as np
+
+        img_dir = os.path.join(self.expdir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        try:
+            import imageio.v2 as imageio
+        except Exception:  # pragma: no cover
+            return
+        wb = {}
+        for name, img in images.items():
+            arr = np.clip(np.asarray(img, dtype=np.float32), 0.0, 1.0)
+            u8 = (arr * 255.0).round().astype(np.uint8)
+            fname = f"{name.replace('/', '_')}_{int(step):08d}.png"
+            imageio.imwrite(os.path.join(img_dir, fname), u8)
+            if self._wandb is not None:
+                wb[name] = self._wandb.Image(u8)
+        if wb:
+            self._wandb.log(wb, step=int(step))
+
     def snapshot_config(self, config_json: str) -> None:
         if not self._active:
             return

@@ -284,12 +284,15 @@ def run_nerfpp_training(cfg: ExperimentConfig, expdir: str,
             save_checkpoint(ckpt_dir, exp.state)
         if exp.logger and step_now % cfg.logging.camera_log == 0 and \
                 exp.state.params.get("camera") is not None:
-            from scnerf_tpu.camera.model import camera_log_dict
+            from scnerf_tpu.camera.model import camera_log_dict, camera_log_images
 
             exp.logger.log(
                 step_now,
                 camera_log_dict(exp.state.params["camera"],
                                 gt_K=exp.train_data.intrinsics[0]),
+            )
+            exp.logger.log_images(
+                step_now, camera_log_images(exp.state.params["camera"])
             )
     return exp.state, metrics
 

@@ -225,3 +225,49 @@ class TestLpipsTorchParity:
         got = float(lpips(jnp.asarray(img0), jnp.asarray(img1), w))
         np.testing.assert_allclose(got, want, rtol=2e-4)
         assert got > 0
+
+
+class TestImageLogging:
+    """log_noises-style image dashboards (camera_model.py:96-113):
+    normalized noise-grid RGB + radial field, written via the logger."""
+
+    def test_camera_log_images_shapes(self):
+        import numpy as np
+
+        from scnerf_tpu.camera import CameraConfig, OPENCV, init_camera
+        from scnerf_tpu.camera.model import camera_log_images
+
+        cfg = CameraConfig(H=40, W=60, grid_size=10, convention=OPENCV,
+                           pixel_offset=0.5, use_distortion=True,
+                           tied_ray_noise=True)
+        K = np.array([[50.0, 0, 30, 0], [0, 55.0, 20, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]])
+        E = np.stack([np.eye(4)] * 2)
+        E[:, 2, 3] = -0.5
+        rng = np.random.RandomState(0)
+        cam = init_camera(K, E, cfg, k=np.array([-0.1, 0.02]))
+        cam = cam.replace(
+            ray_o_grid=rng.randn(4, 6, 3).astype(np.float32),
+            ray_d_grid=rng.randn(4, 6, 3).astype(np.float32))
+        imgs = camera_log_images(cam)
+        assert set(imgs) == {"camera/ray_o_noise", "camera/ray_d_noise",
+                             "camera/radial_field"}
+        for v in imgs.values():
+            v = np.asarray(v)
+            assert v.ndim == 3 and v.shape[-1] == 3
+            assert 0.0 <= v.min() and v.max() <= 1.0
+        # tied camera: both grids show the shared effective value
+        np.testing.assert_array_equal(imgs["camera/ray_o_noise"],
+                                      imgs["camera/ray_d_noise"])
+
+    def test_logger_writes_image_files(self, tmp_path):
+        import numpy as np
+
+        from scnerf_tpu.train.logging_utils import MetricLogger
+
+        lg = MetricLogger(str(tmp_path))
+        lg.log_images(700, {"camera/ray_o_noise":
+                            np.random.RandomState(1).rand(4, 6, 3)})
+        files = sorted((tmp_path / "images").iterdir())
+        assert [f.name for f in files] == ["camera_ray_o_noise_00000700.png"]
+        lg.close()
