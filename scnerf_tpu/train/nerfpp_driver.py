@@ -280,6 +280,25 @@ def run_nerfpp_training(cfg: ExperimentConfig, expdir: str,
             res = evaluate_nerfpp(exp, max_views=2)
             res.update(evaluate_nerfpp_prd(exp))
             exp.logger.log(step_now, {f"test/{k}": v for k, v in res.items()})
+        if exp.logger and step_now % cfg.logging.i_img == 0:
+            # One in-training render panel (the reference's i_img hook:
+            # render_single_image + log_view_to_tb, ddp_train_nerf.py:580-601,
+            # 259-294): rgb / fg / bg / colorized fg depth.
+            from scnerf_tpu.core.imaging import colorize_depth
+
+            data = _held_out_data(exp) or exp.train_data
+            if data is exp.train_data:
+                out = render_nerfpp_image(exp, img_idx=0)
+            else:
+                out = render_nerfpp_image(exp, c2w=data.poses[0],
+                                          K=data.intrinsics[0],
+                                          hw=(data.H, data.W))
+            exp.logger.log_images(step_now, {
+                "val/rgb": np.clip(out["rgb"], 0, 1),
+                "val/fg_rgb": np.clip(out["fg_rgb"], 0, 1),
+                "val/bg_rgb": np.clip(out["bg_rgb"], 0, 1),
+                "val/fg_depth": colorize_depth(out["fg_depth"]),  # [0,1] rgb
+            })
         if step_now % cfg.logging.i_weights == 0:
             save_checkpoint(ckpt_dir, exp.state)
         if exp.logger and step_now % cfg.logging.camera_log == 0 and \

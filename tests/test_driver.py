@@ -885,3 +885,41 @@ class TestRenderOnlyShim:
         rc = train_cli.main(["--config", str(cfg_path), "--render_only",
                              "--render_test"])
         assert rc == 0 and "test" in calls[1]
+
+
+class TestNerfPPImgHook:
+    def test_i_img_writes_render_panels(self, tmp_path):
+        """The i_img hook writes rgb/fg/bg/depth panels
+        (ddp_train_nerf.py:580-601 + log_view_to_tb)."""
+        from tests.test_data import write_png
+        from scnerf_tpu.core.config import experiment_from_flags
+        from scnerf_tpu.train.nerfpp_driver import run_nerfpp_training
+
+        rng = np.random.RandomState(3)
+        root = tmp_path / "tat"
+        H = W = 16
+        for sub in ["rgb", "intrinsics", "pose"]:
+            os.makedirs(root / "train" / sub, exist_ok=True)
+        for i in range(2):
+            write_png(root / "train" / "rgb" / f"{i:05d}.png", rng.rand(H, W, 3))
+            K = np.eye(4); K[0, 0] = K[1, 1] = 14.0
+            K[0, 2], K[1, 2] = W / 2, H / 2
+            (root / "train" / "intrinsics" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, K.reshape(-1))))
+            pose = np.eye(4); pose[:3, 3] = [0.05 * i, 0.0, -0.3]
+            (root / "train" / "pose" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, pose.reshape(-1))))
+        cfg = experiment_from_flags({
+            "dataset_type": "nerfpp", "datadir": str(root), "N_rand": 16,
+            "cascade_samples": "4,4", "netdepth": 2, "netwidth": 16,
+            "max_freq_log2": 2, "max_freq_log2_viewdirs": 2,
+            "i_img": 2, "i_print": 1000, "i_weights": 1000,
+            "i_testset": 1000, "expname": "hook",
+            "basedir": str(tmp_path / "logs"),
+        }, warn=lambda *a: None)
+        expdir = str(tmp_path / "logs" / "hook")
+        os.makedirs(expdir, exist_ok=True)
+        run_nerfpp_training(cfg, expdir, n_steps=3)
+        imgs = sorted(os.listdir(os.path.join(expdir, "images")))
+        assert any("val_rgb" in f for f in imgs), imgs
+        assert any("val_fg_depth" in f for f in imgs), imgs
