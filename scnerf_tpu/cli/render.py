@@ -19,9 +19,26 @@ def main(argv=None):
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--ckpt_dir", type=str, default=None)
     parser.add_argument("--split", type=str, default="test", choices=["test", "train", "path"])
+    parser.add_argument("--render_splits", type=str, default=None,
+                        help="comma list, e.g. 'train,test' — the reference "
+                             "ddp_test_nerf flag; renders each in turn")
     parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--max_views", type=int, default=None)
     args, unknown = parser.parse_known_args(argv)
+
+    if args.render_splits:
+        rc = 0
+        for s in args.render_splits.split(","):
+            s = s.strip()
+            if s in ("validation", "val"):
+                s = "test"  # held-out naming differs per dataset family
+            sub = ["--config", args.config, "--split", s]
+            if args.ckpt_dir:
+                sub += ["--ckpt_dir", args.ckpt_dir]
+            if args.max_views is not None:
+                sub += ["--max_views", str(args.max_views)]
+            rc = rc or main(sub)
+        return rc
 
     from scnerf_tpu.core.config import load_experiment
     from scnerf_tpu.tools.video import array_to_video

@@ -923,3 +923,23 @@ class TestNerfPPImgHook:
         imgs = sorted(os.listdir(os.path.join(expdir, "images")))
         assert any("val_rgb" in f for f in imgs), imgs
         assert any("val_fg_depth" in f for f in imgs), imgs
+
+
+class TestRenderSplitsFlag:
+    def test_render_splits_iterates(self, monkeypatch):
+        """--render_splits a,b renders each split in turn
+        (ddp_test_nerf's flag)."""
+        import scnerf_tpu.cli.render as render_cli
+
+        seen = []
+        orig = render_cli.main
+
+        def spy(argv):
+            if argv and "--render_splits" not in argv:
+                seen.append(argv[argv.index("--split") + 1])
+                return 0
+            return orig(argv)
+
+        monkeypatch.setattr(render_cli, "main", spy)
+        rc = spy(["--config", "x.txt", "--render_splits", "train,validation"])
+        assert rc == 0 and seen == ["train", "test"]
