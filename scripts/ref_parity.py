@@ -338,7 +338,7 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
     if prd:
         return _run_ours_prd(d, n_steps, model_cfg, init_params)
     if batching:
-        return _run_ours_batching(d, n_steps, model_cfg, init_params)
+        return _run_ours_batching(d, n_steps, model_cfg, init_params, ndc=ndc)
     (train_idx,) = [int(i) for i in d.i_train]
     if ndc:
         near, far = 0.0, 1.0  # load_llff_data's NDC bounds (run_nerf.py:148-149)
@@ -461,7 +461,8 @@ def _run_ours_blender(scene_dir: str, n_steps: int, model_cfg, init_params):
     return np.asarray(losses), np.asarray(psnrs), state.params
 
 
-def _run_ours_batching(d, n_steps: int, model_cfg, init_params):
+def _run_ours_batching(d, n_steps: int, model_cfg, init_params,
+                       ndc: bool = False):
     """use_batching + camera — the PUBLISHED LLFF main-table sampling path
     (``run_nerf.py:303-305,369-407``): a globally shuffled pool of flat
     pixel indices decoded per step into per-ray (train-image idx, pixel)
@@ -485,8 +486,11 @@ def _run_ours_batching(d, n_steps: int, model_cfg, init_params):
     from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
 
     i_train = np.asarray(d.i_train)
-    near = float(d.bds.min()) * 0.9
-    far = float(d.bds.max())
+    if ndc:
+        near, far = 0.0, 1.0  # load_llff_data's NDC bounds (run_nerf.py:148-149)
+    else:
+        near = float(d.bds.min()) * 0.9
+        far = float(d.bds.max())
     K_init = d.gt_intrinsic.copy()
     K_init[0, 0] = K_init[1, 1] = d.noisy_focal
     cam = init_camera(
@@ -501,7 +505,7 @@ def _run_ours_batching(d, n_steps: int, model_cfg, init_params):
         perturb=False, raw_noise_std=0.0, use_viewdirs=True,
     )
     train_cfg = TrainConfig(lr_init=LR, lr_decay_steps=LR_DECAY * 1000,
-                            near=near, far=far, use_ndc=False)
+                            near=near, far=far, use_ndc=ndc)
     tx = make_optimizer(LR, LR_DECAY * 1000, params_example=params)
     state = create_train_state(params, tx)
     step_fn = make_train_step(model_cfg, render_cfg, train_cfg, Curriculum(),
