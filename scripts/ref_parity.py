@@ -27,6 +27,18 @@ final quality 43.4 vs 44.0 dB — a 0.6 dB gap that corresponds to an MSE
 delta below sensor noise). Compare in the mid-training regime where PSNR
 differences are attributable.
 
+Regimes (flags compose where the reference's do):
+  (none)          plain fixed-camera LLFF
+  --camera        learnable camera (self-calibration)
+  --ndc           NDC space (the reference's LLFF default)
+  --prd           camera + projected-ray-distance loss (full RNG replay)
+  --blender       blender pipeline (white bkgd, near/far 2/6)
+  --custom_optim  demo.sh's CustomAdam (weight decay on camera noise)
+  --batching      use_batching + camera: shuffled global pixel pool
+  --batching --ndc  the EXACT published fern default flag set
+  --scratch       main_table_1 from-scratch (run_without_colmap both)
+  --noise         injected camera noise with the loader RNG replayed
+
 Usage: python scripts/ref_parity.py [--steps 200] [--out PARITY_TRAJ.json]
 """
 from __future__ import annotations
