@@ -173,6 +173,22 @@ def main():
 
     ddp_train_nerf.img2mse = recording_img2mse
 
+    renders = []
+    if spec.get("record_renders"):
+        # Tap the trainer's own deterministic eval renders (the i_img hook
+        # fires at step 1 and at --i_img; each firing renders one val and
+        # one train view via render_single_image, det sampling throughout).
+        orig_rsi = ddp_train_nerf.render_single_image
+
+        def recording_rsi(rank, ws, models, sampler, chunk, camera_model,
+                          camera_idx=None):
+            ret = orig_rsi(rank, ws, models, sampler, chunk, camera_model,
+                           camera_idx)
+            renders.append(ret[-1]["rgb"].detach().numpy())
+            return ret
+
+        ddp_train_nerf.render_single_image = recording_rsi
+
     if spec.get("matches_npz"):
         # PRD regime: replace the SuperGlue matcher (no weights in this
         # image) with precomputed reference-SIFT results; both trainers see
@@ -213,6 +229,10 @@ def main():
     ddp_train_nerf.ddp_train_nerf(0, args)
 
     out = {"mse": np.asarray(mses, np.float64)}
+    if renders:
+        # per i_img firing: [val, train]; keep the final pair
+        out["render::val"] = renders[-2]
+        out["render::train"] = renders[-1]
     pths = sorted(
         glob.glob(os.path.join(spec["workdir"], "*", "model_*.pth")),
         key=lambda p: int(os.path.basename(p)[6:-4]),

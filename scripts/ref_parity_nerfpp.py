@@ -278,7 +278,7 @@ def precompute_matches(datadir: str, workdir: str, pairs: dict) -> tuple:
 
 def run_reference(datadir: str, n_steps: int, workdir: str, camera: bool,
                   matches_npz: str | None = None, autoexpo: bool = False,
-                  fisheye: bool = False):
+                  fisheye: bool = False, render_check: bool = False):
     out_npz = os.path.join(workdir, "ref_out.npz")
     flags = [
         "--expname", "parity", "--basedir", workdir,
@@ -293,7 +293,8 @@ def run_reference(datadir: str, n_steps: int, workdir: str, camera: bool,
         "--lrate", str(LR), "--lrate_decay_factor", "0.1",
         "--lrate_decay_steps", str(LR_DECAY_STEPS),
         "--chunk_size", "32768",
-        "--i_print", "1000000", "--i_img", "1000000",
+        "--i_print", "1000000",
+        "--i_img", str(n_steps if render_check else 1000000),
         "--i_weights", str(n_steps), "--camera_log", "1000000",
         "--master_addr", str(_free_port()), "--normalize_factor", "1.0",
     ]
@@ -324,6 +325,7 @@ def run_reference(datadir: str, n_steps: int, workdir: str, camera: bool,
                   "--pairing_angle_threshold", "30"]
     spec = {"flags": flags, "n_steps": n_steps, "out_npz": out_npz,
             "workdir": workdir, "matches_npz": matches_npz,
+            "record_renders": bool(render_check),
             "scene_rgb_dir": os.path.join(datadir, "scene", "train", "rgb")}
     spec_path = os.path.join(workdir, "ref_spec.json")
     json.dump(spec, open(spec_path, "w"))
@@ -357,6 +359,9 @@ def run_reference(datadir: str, n_steps: int, workdir: str, camera: bool,
         from scnerf_tpu.tools.convert import torch_camera_to_fields
 
         final["camera_fields"] = torch_camera_to_fields(cam_sd)
+    for tag in ("render::val", "render::train"):
+        if tag in data.files:
+            final[tag] = data[tag]
     return mse, final
 
 
@@ -513,6 +518,61 @@ def run_ours(datadir: str, n_steps: int, model_cfg, init_levels, camera: bool,
     return np.asarray(losses), np.asarray(psnrs), state.params
 
 
+def render_ours_from_ref(ref_final, datadir: str, model_cfg,
+                         fisheye: bool = False):
+    """Render the same two eval views the reference's i_img hook rendered,
+    from the REFERENCE's final weights converted into our layout — isolates
+    the full-image eval path (det cascade sampling, learned-K rays, chunked
+    render) from trajectory chaos. Views: the validation image 0 with the
+    learned K + noise grids over the DATASET pose (``get_all``'s
+    camera_idx=None path), and train image 0 through the full learned
+    camera (``camera_idx=idx`` path is NOT what the hook uses — it also
+    passes camera_idx=None with the train sampler's pose)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scnerf_tpu.camera.model import CameraConfig, OPENCV, init_camera
+    from scnerf_tpu.camera.rays import full_image_pixels, pixels_to_rays
+    from scnerf_tpu.data.nerfpp_split import load_nerfpp_split
+    from scnerf_tpu.render.nerfpp_renderer import (
+        NerfPPRenderConfig,
+        render_chunked_nerfpp,
+    )
+
+    d_tr = load_nerfpp_split(os.path.join(datadir, "scene"), "train")
+    # run_fisheye loads train as the val split (ddp_train_nerf.py:335-338)
+    d_val = d_tr if fisheye else load_nerfpp_split(
+        os.path.join(datadir, "scene"), "validation")
+    cam_cfg = CameraConfig(
+        H=H, W=W, grid_size=10, convention=OPENCV, pixel_offset=0.5,
+        ray_o_noise_scale=1e-3, ray_d_noise_scale=1e-3,
+        extrinsics_noise_scale=1e-2, intrinsics_noise_scale=1.0,
+        use_distortion=fisheye, tied_ray_noise=fisheye,
+        multiplicative_noise=fisheye, distortion_noise_scale=1e-2,
+    )
+    k = d_tr.k[0] if (fisheye and d_tr.k is not None) else None
+    cam = init_camera(d_tr.intrinsics[0], d_tr.poses, cam_cfg, k=k)
+    cam = cam.replace(**ref_final["camera_fields"])
+    levels = [ref_final[f"level{m}"] for m in range(len(CASCADE))]
+    rcfg = NerfPPRenderConfig(cascade_samples=CASCADE, perturb=False,
+                              remat_chunk=0)
+    px, py = full_image_pixels(H, W)
+    key = jax.random.key(0)  # unused: det sampling
+    out = {}
+    # The i_img hook fires at step 1 and step N; its what_*_to_log
+    # round-robin counters are at 1 by the FINAL firing, so the recorded
+    # renders are view 1 % len(split) (ddp_train_nerf.py:582,592).
+    vi = 1 % d_val.poses.shape[0]
+    ti = 1 % d_tr.poses.shape[0]
+    for tag, pose in (("render::val", d_val.poses[vi]),
+                      ("render::train", d_tr.poses[ti])):
+        ro, rd = pixels_to_rays(cam, px, py, c2w=jnp.asarray(pose))
+        r = render_chunked_nerfpp(levels, model_cfg, rcfg, ro, rd,
+                                  jnp.full((H * W,), 1e-4), key)
+        out[tag] = np.asarray(r["rgb"]).reshape(H, W, 3)
+    return out
+
+
 def tree_max_diff(a, b) -> float:
     import jax
 
@@ -525,7 +585,8 @@ def tree_max_diff(a, b) -> float:
 
 def main(n_steps: int = 150, out_json: str | None = None,
          workdir: str | None = None, camera: bool = False, prd: bool = False,
-         autoexpo: bool = False, fisheye: bool = False):
+         autoexpo: bool = False, fisheye: bool = False,
+         render_check: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -559,10 +620,12 @@ def main(n_steps: int = 150, out_json: str | None = None,
         matches_npz, raw_matches = precompute_matches(datadir, workdir, pairs)
 
     print(f"[ref_parity_nerfpp] workdir={workdir} steps={n_steps} "
-          f"camera={camera} prd={prd} autoexpo={autoexpo} fisheye={fisheye}")
+          f"camera={camera} prd={prd} autoexpo={autoexpo} fisheye={fisheye} "
+          f"render_check={render_check}")
     ref_mse, ref_final = run_reference(datadir, n_steps, workdir, camera,
                                        matches_npz=matches_npz,
-                                       autoexpo=autoexpo, fisheye=fisheye)
+                                       autoexpo=autoexpo, fisheye=fisheye,
+                                       render_check=render_check)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, -1])
 
@@ -599,6 +662,17 @@ def main(n_steps: int = 150, out_json: str | None = None,
                 ours_v = np.asarray(cam.ray_o_grid) + np.asarray(cam.ray_d_grid)
             diffs.append(float(np.abs(ours_v - np.asarray(v)).max()))
         w_diff["camera"] = max(diffs)
+    render_diff = None
+    if render_check and camera and "render::train" in ref_final:
+        ours_r = render_ours_from_ref(ref_final, datadir, model_cfg,
+                                      fisheye=fisheye)
+        render_diff = {
+            tag.split("::")[1]: float(
+                np.abs(ours_r[tag] - ref_final[tag]).max())
+            for tag in ("render::val", "render::train")
+        }
+        print(f"[ref_parity_nerfpp] render-path max |rgb diff|: {render_diff}")
+
     report = {
         "pipeline": "nerfpp",
         "camera_model": bool(camera),
@@ -621,6 +695,8 @@ def main(n_steps: int = 150, out_json: str | None = None,
         "ref_loss_tail": ref_loss[-3:].tolist(),
         "our_loss_tail": our_loss[-3:].tolist(),
     }
+    if render_diff is not None:
+        report["render_path_max_abs_rgb_diff"] = render_diff
     print(json.dumps(report, indent=2))
     if out_json:
         json.dump(report, open(out_json, "w"), indent=2)
@@ -642,6 +718,10 @@ if __name__ == "__main__":
     ap.add_argument("--fisheye", action="store_true",
                     help="FishEyeNeRF regime: Distortion camera variant "
                          "(radial warp, tied ray noise, multiplicative K)")
+    ap.add_argument("--render", action="store_true", dest="render_check",
+                    help="also compare full-image EVAL renders per-pixel: "
+                         "the reference's det render_single_image vs our "
+                         "renderer, both from the reference's final weights")
     a = ap.parse_args()
     main(a.steps, a.out, a.workdir, camera=a.camera, prd=a.prd,
-         autoexpo=a.autoexpo, fisheye=a.fisheye)
+         autoexpo=a.autoexpo, fisheye=a.fisheye, render_check=a.render_check)
