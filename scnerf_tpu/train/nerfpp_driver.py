@@ -340,6 +340,15 @@ def render_nerfpp_image(exp: NerfPPExperiment, img_idx: int | None = None,
         Hr, Wr = train.H, train.W
         px, py = full_image_pixels(Hr, Wr)
         rays_o, rays_d = pixels_to_rays(camera, px, py, image_idx=img_idx)
+    elif camera is not None and c2w is not None and resolution_level == 1 \
+            and (hw is None or tuple(hw) == (train.H, train.W)):
+        # Held-out pose through the LEARNED camera: calibrated K (+noise),
+        # distortion warp, ray-noise grids, given c2w — the reference's
+        # camera_idx=None eval path (``nerf_sample_ray_split.py:114-124``:
+        # render_ray_from_camera(..., extrinsic=sampler.c2w)).
+        Hr, Wr = train.H, train.W
+        px, py = full_image_pixels(Hr, Wr)
+        rays_o, rays_d = pixels_to_rays(camera, px, py, c2w=jnp.asarray(c2w))
     else:
         L = resolution_level
         H0, W0 = hw if hw is not None else (train.H, train.W)
@@ -380,10 +389,11 @@ def _held_out_data(exp: NerfPPExperiment):
 def evaluate_nerfpp(exp: NerfPPExperiment, max_views: int | None = 2,
                     data=None) -> dict:
     """PSNR/SSIM[/LPIPS] over held-out renders — the ``ddp_test_nerf``
-    metric protocol (``ddp_test_nerf.py:121-123``). Renders the held-out
-    split's poses with the dataset K (the reference likewise renders the
-    named split's own cameras); falls back to train views when the scene
-    ships no validation/test split, reported as ``split: "train"``."""
+    metric protocol (``ddp_test_nerf.py:121-123``). Held-out poses render
+    through the LEARNED camera when one exists (calibrated K + noise
+    grids, the reference's camera_idx=None eval path), else the dataset
+    K; falls back to train views when the scene ships no validation/test
+    split, reported as ``split: "train"``."""
     from scnerf_tpu.losses.photometric import img2mse, mse2psnr
     from scnerf_tpu.metrics.lpips import lpips, lpips_available, load_weights
     from scnerf_tpu.metrics.ssim import ssim

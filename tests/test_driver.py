@@ -943,3 +943,52 @@ class TestRenderSplitsFlag:
         monkeypatch.setattr(render_cli, "main", spy)
         rc = spy(["--config", "x.txt", "--render_splits", "train,validation"])
         assert rc == 0 and seen == ["train", "test"]
+
+
+class TestHeldOutRenderUsesLearnedCamera:
+    def test_c2w_render_goes_through_camera(self, tmp_path):
+        """Held-out renders must use the LEARNED K + noise grids with the
+        given pose (the reference's camera_idx=None eval path), not the raw
+        dataset K."""
+        import jax.numpy as jnp
+
+        from scnerf_tpu.train.nerfpp_driver import (
+            build_nerfpp_experiment,
+            render_nerfpp_image,
+        )
+        from tests.test_data import write_png
+
+        rng = np.random.RandomState(0)
+        root = tmp_path / "d"
+        H = W = 12
+        for sub in ["rgb", "intrinsics", "pose"]:
+            os.makedirs(root / "train" / sub, exist_ok=True)
+        K = np.eye(4); K[0, 0] = K[1, 1] = 10.0
+        K[0, 2], K[1, 2] = W / 2, H / 2
+        for i in range(2):
+            write_png(root / "train" / "rgb" / f"{i:05d}.png", rng.rand(H, W, 3))
+            (root / "train" / "intrinsics" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, K.reshape(-1))))
+            pose = np.eye(4); pose[:3, 3] = [0.05 * i, 0.0, -0.3]
+            (root / "train" / "pose" / f"{i:05d}.txt").write_text(
+                " ".join(map(str, pose.reshape(-1))))
+        cfg = experiment_from_flags({
+            "dataset_type": "nerfpp", "datadir": str(root), "N_rand": 16,
+            "cascade_samples": "4,4", "netdepth": 2, "netwidth": 16,
+            "max_freq_log2": 2, "max_freq_log2_viewdirs": 2,
+            "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
+        }, warn=lambda *a: None)
+        exp = build_nerfpp_experiment(cfg)
+        pose = exp.train_data.poses[1]
+        base = render_nerfpp_image(exp, c2w=pose, K=exp.train_data.intrinsics[1],
+                                   hw=(H, W))
+        # perturb the learned intrinsics; a learned-camera render must move,
+        # and must differ from the raw-dataset-K render
+        cam = exp.state.params["camera"]
+        exp.state = exp.state.replace(params=dict(
+            exp.state.params,
+            camera=cam.replace(intrinsics_noise=jnp.asarray([3.0, -2.0, 1.0, -1.0])),
+        ))
+        moved = render_nerfpp_image(exp, c2w=pose, K=exp.train_data.intrinsics[1],
+                                    hw=(H, W))
+        assert np.abs(moved["rgb"] - base["rgb"]).max() > 1e-4
