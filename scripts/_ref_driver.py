@@ -147,6 +147,25 @@ def main():
         return v
 
     run_nerf.img2mse = recording_img2mse
+
+    renders = []
+    if spec.get("record_renders"):
+        # Tap the end-of-training trainset render (run_nerf.py:957-987,
+        # render_path over the train poses with render_kwargs_train —
+        # deterministic at perturb=0 / raw_noise_std=0). Only the
+        # no-camera branch completes (the camera branch crashes upstream
+        # in the reference itself, see the except below).
+        orig_rp = run_nerf.render_path
+
+        def recording_render_path(*a, **k):
+            rgbs, disps = orig_rp(*a, **k)
+            renders.append(np.asarray(rgbs[0].detach()
+                                      if hasattr(rgbs[0], "detach")
+                                      else rgbs[0]))
+            return rgbs, disps
+
+        run_nerf.render_path = recording_render_path
+
     n = int(spec["n_steps"])
     try:
         run_nerf.train()
@@ -169,6 +188,8 @@ def main():
         "mse": np.asarray(mses[: 2 * n], np.float64),
         "stamps": np.asarray(stamps[: 2 * n], np.float64),
     }
+    if renders:
+        out["render::train0"] = renders[-1]
 
     tars = sorted(glob.glob(os.path.join(spec["workdir"], "*", "*.tar")))
     if tars:

@@ -224,7 +224,7 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
                   camera: bool = False, ndc: bool = False, prd: bool = False,
                   blender: bool = False, custom_optim: bool = False,
                   batching: bool = False, scratch: bool = False,
-                  noise: bool = False):
+                  noise: bool = False, render_check: bool = False):
     """Run the real reference trainer in a subprocess; returns (mse (n,2)
     fine/coarse, final coarse+fine[+camera] params in OUR layout)."""
     out_npz = os.path.join(workdir, "ref_out.npz")
@@ -285,7 +285,7 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
                   "--initial_noise_size_rotation", str(NOISE_SIZES["rotation"]),
                   "--initial_noise_size_translation", str(NOISE_SIZES["translation"])]
     spec = {"flags": flags, "n_steps": n_steps, "out_npz": out_npz,
-            "workdir": workdir}
+            "workdir": workdir, "record_renders": bool(render_check)}
     spec_path = os.path.join(workdir, "ref_spec.json")
     json.dump(spec, open(spec_path, "w"))
     r = subprocess.run(
@@ -305,6 +305,8 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
         return torch_nerf_to_params(sd, depth=MLP["depth"]) if sd else None
 
     final = {"coarse": grab("fn"), "fine": grab("fine")}
+    if "render::train0" in data.files:
+        final["render::train0"] = data["render::train0"]
     cam_sd = {k[5:]: data[k] for k in data.files if k.startswith("cam::")}
     if cam_sd:
         from scnerf_tpu.tools.convert import torch_camera_to_fields
@@ -683,6 +685,47 @@ def _run_ours_prd(d, n_steps: int, model_cfg, init_params):
     return np.asarray(losses), np.asarray(psnrs), state.params
 
 
+def render_ours_from_ref(ref_final, scene_dir: str, model_cfg,
+                         ndc: bool = False):
+    """Re-render the reference's end-of-training trainset view (image 0,
+    no-camera ray path, det sampling) from the REFERENCE's final weights
+    through OUR renderer — per-pixel eval-path parity isolated from
+    trajectory chaos."""
+    import jax
+    import jax.numpy as jnp
+
+    from scnerf_tpu.camera.rays import rays_no_camera
+    from scnerf_tpu.data.llff import load_llff
+    from scnerf_tpu.render.renderer import RenderConfig, render_chunked
+
+    d = load_llff(scene_dir, factor=1, llffhold=8)
+    if ndc:
+        near, far = 0.0, 1.0
+    else:
+        near, far = float(d.bds.min()) * 0.9, float(d.bds.max())
+    params = {"coarse": ref_final["coarse"], "fine": ref_final["fine"]}
+    eval_cfg = RenderConfig(
+        n_samples=SAMPLES["n_samples"], n_importance=SAMPLES["n_importance"],
+        perturb=False, raw_noise_std=0.0, use_viewdirs=True,
+    )
+    idx = np.arange(H * W)
+    px = jnp.asarray((idx % W).astype(np.float32))
+    py = jnp.asarray((idx // W).astype(np.float32))
+    # the reference's hardcoded i_train=[0] renders IMAGE 0 (run_nerf.py:910)
+    rays_o, rays_d = rays_no_camera(
+        H, W, d.noisy_focal, jnp.asarray(d.noisy_poses[0, :3, :4]), px, py)
+    viewdirs = rays_d / (jnp.linalg.norm(rays_d, axis=-1, keepdims=True) + 1e-10)
+    if ndc:
+        from scnerf_tpu.geometry.ndc import ndc_rays
+
+        rays_o, rays_d = ndc_rays(H, W, d.noisy_focal, d.noisy_focal, 1.0,
+                                  rays_o, rays_d)
+    out = render_chunked(params, model_cfg, eval_cfg, rays_o, rays_d,
+                         viewdirs, near, far, jax.random.key(0))
+    # batchify_rays clamps rgb >= 1 (render.py:404-406)
+    return np.minimum(np.asarray(out["rgb"]).reshape(H, W, 3), 1.0)
+
+
 def tree_max_diff(a, b) -> float:
     import jax
 
@@ -696,7 +739,8 @@ def tree_max_diff(a, b) -> float:
 def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = None,
          camera: bool = False, ndc: bool = False, prd: bool = False,
          blender: bool = False, custom_optim: bool = False,
-         batching: bool = False, scratch: bool = False, noise: bool = False):
+         batching: bool = False, scratch: bool = False, noise: bool = False,
+         render_check: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -728,7 +772,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
                                        camera=camera, ndc=ndc, prd=prd,
                                        blender=blender, custom_optim=custom_optim,
                                        batching=batching, scratch=scratch,
-                                       noise=noise)
+                                       noise=noise, render_check=render_check)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
 
@@ -751,6 +795,12 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
             for f, v in ref_final["camera_fields"].items()
             if getattr(cam, f, None) is not None
         )
+    render_diff = None
+    if render_check and "render::train0" in ref_final:
+        ours_rgb = render_ours_from_ref(ref_final, scene, model_cfg, ndc=ndc)
+        render_diff = float(np.abs(ours_rgb - ref_final["render::train0"]).max())
+        print(f"[ref_parity] render-path max |rgb diff|: {render_diff:.2e}")
+
     report = {
         "camera_model": bool(camera),
         "ndc": bool(ndc),
@@ -776,6 +826,8 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         "ref_loss_tail": ref_loss[-3:].tolist(),
         "our_loss_tail": our_loss[-3:].tolist(),
     }
+    if render_diff is not None:
+        report["render_path_max_abs_rgb_diff"] = render_diff
     print(json.dumps(report, indent=2))
     if out_json:
         json.dump(report, open(out_json, "w"), indent=2)
@@ -809,7 +861,11 @@ if __name__ == "__main__":
     ap.add_argument("--noise", action="store_true",
                     help="injected-noise start: initial_noise_size_* with "
                          "the loader's RNG stream replayed")
+    ap.add_argument("--render", action="store_true", dest="render_check",
+                    help="also compare the end-of-training trainset render "
+                         "per-pixel (no-camera regimes; the reference's "
+                         "camera-branch render crashes upstream)")
     a = ap.parse_args()
     main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc, prd=a.prd,
          blender=a.blender, custom_optim=a.custom_optim, batching=a.batching,
-         scratch=a.scratch, noise=a.noise)
+         scratch=a.scratch, noise=a.noise, render_check=a.render_check)
