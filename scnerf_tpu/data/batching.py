@@ -99,7 +99,11 @@ def sample_pixels(
 ):
     """Random pixel coordinates, optionally restricted to a center crop.
 
-    Returns (px, py) float32 arrays of shape (n_rand,).
+    The reference draws a JOINT no-replacement choice over the (cropped)
+    coordinate grid (``run_nerf.py:449-453``: ``np.random.choice(W*H,
+    [N_rand], replace=False)`` on the x-major meshgrid), so a batch never
+    repeats a pixel; reproduced here including the x-major flat-index
+    decode. Returns (px, py) float32 arrays of shape (n_rand,).
     """
     if precrop_frac is not None:
         dh = int(H // 2 * precrop_frac)
@@ -109,8 +113,9 @@ def sample_pixels(
     else:
         ys = np.arange(H)
         xs = np.arange(W)
-    py = ys[rng.randint(0, len(ys), n_rand)]
-    px = xs[rng.randint(0, len(xs), n_rand)]
+    idx = rng.choice(len(xs) * len(ys), size=n_rand, replace=False)
+    px = xs[idx // len(ys)]
+    py = ys[idx % len(ys)]
     return px.astype(np.float32), py.astype(np.float32)
 
 

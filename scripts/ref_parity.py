@@ -66,6 +66,7 @@ WEIGHT_DECAY = 0.1  # --custom_optim regime: demo.sh's non_linear_weight_decay
 N_RAND_BATCHING = 256  # --batching regime: divides 2*H*W so no short batch
 # --noise regime: the calibration_ablation protocol's injected noise sizes
 NOISE_SIZES = dict(intrinsic=0.1, rotation=2.0, translation=0.05)
+N_RAND_PRECROP = 192  # --precrop regime: < the center-crop pixel count
 
 
 def scene_image(i: int) -> np.ndarray:
@@ -224,7 +225,8 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
                   camera: bool = False, ndc: bool = False, prd: bool = False,
                   blender: bool = False, custom_optim: bool = False,
                   batching: bool = False, scratch: bool = False,
-                  noise: bool = False, render_check: bool = False):
+                  noise: bool = False, render_check: bool = False,
+                  precrop: bool = False):
     """Run the real reference trainer in a subprocess; returns (mse (n,2)
     fine/coarse, final coarse+fine[+camera] params in OUR layout)."""
     out_npz = os.path.join(workdir, "ref_out.npz")
@@ -242,13 +244,16 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
         "--netdepth_fine", str(MLP["depth"]), "--netwidth_fine", str(MLP["width"]),
         "--multires", str(MLP["multires"]),
         "--multires_views", str(MLP["multires_views"]),
-        "--N_rand", str(N_RAND_BATCHING if batching else H * W),
+        "--N_rand", str(N_RAND_PRECROP if precrop
+                        else N_RAND_BATCHING if batching else H * W),
         "--N_samples", str(SAMPLES["n_samples"]),
         "--N_importance", str(SAMPLES["n_importance"]),
         "--perturb", "0.0", "--raw_noise_std", "0.0",
         "--lrate", str(LR), "--lrate_decay", str(LR_DECAY),
         "--chunk", "32768", "--netchunk_per_gpu", "65536",
-        "--N_iters", str(n_steps + 1), "--precrop_iters", "0",
+        "--N_iters", str(n_steps + 1),
+        "--precrop_iters", str(n_steps // 2 + 1 if precrop else 0),
+        "--precrop_frac", "0.5",
         "--i_print", "1000000", "--i_img", "1000000",
         "--i_testset", "1000000", "--i_video", "1000000",
         "--i_weights", str(n_steps),
@@ -319,7 +324,7 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
              camera: bool = False, ndc: bool = False, prd: bool = False,
              blender: bool = False, custom_optim: bool = False,
              batching: bool = False, scratch: bool = False,
-             noise: bool = False):
+             noise: bool = False, precrop: bool = False):
     """Run our trainer on the identical workload; returns (loss, psnr,
     final params). ``loss`` is the PHOTOMETRIC part (fine + coarse mse),
     matching what the reference-side tap records."""
@@ -353,6 +358,8 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
         return _run_ours_prd(d, n_steps, model_cfg, init_params)
     if batching:
         return _run_ours_batching(d, n_steps, model_cfg, init_params, ndc=ndc)
+    if precrop:
+        return _run_ours_precrop(d, n_steps, model_cfg, init_params)
     (train_idx,) = [int(i) for i in d.i_train]
     if ndc:
         near, far = 0.0, 1.0  # load_llff_data's NDC bounds (run_nerf.py:148-149)
@@ -472,6 +479,83 @@ def _run_ours_blender(scene_dir: str, n_steps: int, model_cfg, init_params):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
         losses.append(float(metrics["loss"]))
         psnrs.append(float(metrics["psnr"]))
+    return np.asarray(losses), np.asarray(psnrs), state.params
+
+
+def _run_ours_precrop(d, n_steps: int, model_cfg, init_params):
+    """Per-image sampling with the early center-crop phase
+    (``run_nerf.py:408-478``): for the first ``precrop_iters`` steps pixels
+    come from a joint no-replacement draw over the CENTER-CROP grid (frac
+    0.5), then over the full grid. All draws are numpy — replayed exactly:
+    per step one ``choice(i_train)`` then one
+    ``choice(count, [N_rand], replace=False)`` over the x-major meshgrid
+    flat coords."""
+    import jax
+    import jax.numpy as jnp
+
+    from scnerf_tpu.camera import CameraConfig, OPENGL, init_camera
+    from scnerf_tpu.render.renderer import RenderConfig
+    from scnerf_tpu.train.curriculum import Curriculum
+    from scnerf_tpu.train.optim import make_optimizer
+    from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
+
+    i_train = np.asarray(d.i_train)
+    local = {int(g): li for li, g in enumerate(i_train)}
+    near = float(d.bds.min()) * 0.9
+    far = float(d.bds.max())
+    K_init = d.gt_intrinsic.copy()
+    K_init[0, 0] = K_init[1, 1] = d.noisy_focal
+    cam = init_camera(
+        K_init, d.noisy_poses[i_train],
+        CameraConfig(H=H, W=W, grid_size=10, convention=OPENGL,
+                     ray_o_noise_scale=1e-4, ray_d_noise_scale=1e-4,
+                     extrinsics_noise_scale=1.0, intrinsics_noise_scale=1.0),
+    )
+    params = dict(init_params, camera=cam)
+    render_cfg = RenderConfig(
+        n_samples=SAMPLES["n_samples"], n_importance=SAMPLES["n_importance"],
+        perturb=False, raw_noise_std=0.0, use_viewdirs=True,
+    )
+    train_cfg = TrainConfig(lr_init=LR, lr_decay_steps=LR_DECAY * 1000,
+                            near=near, far=far, use_ndc=False)
+    tx = make_optimizer(LR, LR_DECAY * 1000, params_example=params)
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(model_cfg, render_cfg, train_cfg, Curriculum(),
+                              tx, with_prd=False, donate=False)
+
+    precrop_iters = n_steps // 2 + 1  # ref loop i runs 1..n_steps; i < this
+    n_rand = N_RAND_PRECROP
+    np.random.seed(777)  # fix_seeds(777)
+    losses, psnrs = [], []
+    key = jax.random.key(0)
+    n_crop_steps = 0
+    for it in range(n_steps):
+        i_ref = it + 1  # the reference's loop variable
+        img_i = int(np.random.choice(i_train))
+        if i_ref < precrop_iters:
+            dH = int(H // 2 * 0.5)
+            dW = int(W // 2 * 0.5)
+            xs = np.arange(W // 2 - dW, W // 2 + dW)
+            ys = np.arange(H // 2 - dH, H // 2 + dH)
+            n_crop_steps += 1
+        else:
+            xs, ys = np.arange(W), np.arange(H)
+        sel = np.random.choice(len(xs) * len(ys), size=[n_rand], replace=False)
+        px = xs[sel // len(ys)].astype(np.float32)
+        py = ys[sel % len(ys)].astype(np.float32)
+        batch = {
+            "px": jnp.asarray(px),
+            "py": jnp.asarray(py),
+            "img_idx": jnp.full((n_rand,), local[img_i], jnp.int32),
+            "target": jnp.asarray(
+                d.images[img_i][py.astype(int), px.astype(int)], jnp.float32),
+        }
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, it))
+        losses.append(float(metrics["mse"]) + float(metrics["mse0"]))
+        psnrs.append(float(metrics["psnr"]))
+    assert n_crop_steps > 0 and n_crop_steps < n_steps, n_crop_steps
+    print(f"[ref_parity] precrop regime: {n_crop_steps} cropped steps, "
+          f"{n_steps - n_crop_steps} full-grid steps")
     return np.asarray(losses), np.asarray(psnrs), state.params
 
 
@@ -740,7 +824,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
          camera: bool = False, ndc: bool = False, prd: bool = False,
          blender: bool = False, custom_optim: bool = False,
          batching: bool = False, scratch: bool = False, noise: bool = False,
-         render_check: bool = False):
+         render_check: bool = False, precrop: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -758,6 +842,8 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         camera = True  # self-calibration from scratch needs the camera
     if noise:
         camera = True  # noisy-start self-calibration
+    if precrop:
+        camera = True  # per-image camera path with the early center crop
     workdir = workdir or tempfile.mkdtemp(prefix="ref_parity_")
     scene = os.path.join(workdir, "scene")
     (build_blender_scene if blender else build_scene)(scene)
@@ -772,7 +858,8 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
                                        camera=camera, ndc=ndc, prd=prd,
                                        blender=blender, custom_optim=custom_optim,
                                        batching=batching, scratch=scratch,
-                                       noise=noise, render_check=render_check)
+                                       noise=noise, render_check=render_check,
+                                       precrop=precrop)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
 
@@ -781,7 +868,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
                                              prd=prd, blender=blender,
                                              custom_optim=custom_optim,
                                              batching=batching, scratch=scratch,
-                                             noise=noise)
+                                             noise=noise, precrop=precrop)
 
     rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
     w_diff = {
@@ -810,6 +897,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         "batching": bool(batching),
         "scratch": bool(scratch),
         "noise": bool(noise),
+        "precrop": bool(precrop),
         "n_steps": n_steps,
         "loss_rel_diff": {
             "step0": float(rel[0]),
@@ -865,7 +953,11 @@ if __name__ == "__main__":
                     help="also compare the end-of-training trainset render "
                          "per-pixel (no-camera regimes; the reference's "
                          "camera-branch render crashes upstream)")
+    ap.add_argument("--precrop", action="store_true",
+                    help="per-image path with the early center-crop phase "
+                         "(precrop_iters = steps/2), RNG replayed")
     a = ap.parse_args()
     main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc, prd=a.prd,
          blender=a.blender, custom_optim=a.custom_optim, batching=a.batching,
-         scratch=a.scratch, noise=a.noise, render_check=a.render_check)
+         scratch=a.scratch, noise=a.noise, render_check=a.render_check,
+         precrop=a.precrop)

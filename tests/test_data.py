@@ -224,3 +224,24 @@ class TestPathZflat:
         d_flat = load_llff(llff_dir, factor=1, llffhold=3, path_zflat=True)
         assert d_normal.render_poses.shape[0] == 120
         assert d_flat.render_poses.shape[0] == 60
+
+
+class TestSamplePixelsNoReplacement:
+    def test_batch_never_repeats_a_pixel(self):
+        """The reference's per-image draw is a joint no-replacement choice
+        (run_nerf.py:449-453); a batch must not contain duplicates."""
+        rng = np.random.RandomState(0)
+        px, py = sample_pixels(rng, 20, 30, 600)  # = full grid size
+        pairs = set(zip(px.astype(int), py.astype(int)))
+        assert len(pairs) == 600
+
+    def test_matches_reference_draw_exactly(self):
+        """Same rng stream + x-major decode as the reference's
+        np.random.choice over the torch.meshgrid(W, H) flat coords."""
+        H, W, n = 10, 14, 32
+        rng = np.random.RandomState(7)
+        px, py = sample_pixels(rng, H, W, n)
+        rng2 = np.random.RandomState(7)
+        sel = rng2.choice(W * H, size=n, replace=False)
+        np.testing.assert_array_equal(px.astype(int), sel // H)
+        np.testing.assert_array_equal(py.astype(int), sel % H)
