@@ -38,6 +38,8 @@ Regimes (flags compose where the reference's do):
   --batching --ndc  the EXACT published fern default flag set
   --scratch       main_table_1 from-scratch (run_without_colmap both)
   --noise         injected camera noise with the loader RNG replayed
+  --precrop       early center-crop phase (two-phase draw replay)
+  --render        plus per-pixel end-of-training render comparison
 
 Usage: python scripts/ref_parity.py [--steps 200] [--out PARITY_TRAJ.json]
 """
