@@ -832,6 +832,9 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
 
     global N_IMAGES, TEXTURE
+    N_IMAGES, TEXTURE = 2, False  # reset: regimes mutate these module
+    # globals, and in-process callers (the e2e suite) invoke main() for
+    # several regimes sequentially.
     if prd:
         camera = True
         N_IMAGES, TEXTURE = 3, True  # 2 train images -> 1 feasible pair

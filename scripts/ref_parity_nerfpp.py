@@ -592,6 +592,10 @@ def main(n_steps: int = 150, out_json: str | None = None,
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
 
     global N_TRAIN, TEXTURE, H, W, FOCAL, DIST_K
+    # reset: regimes mutate these module globals and in-process callers
+    # invoke main() for several regimes sequentially.
+    N_TRAIN, TEXTURE, DIST_K = 1, False, None
+    H, W, FOCAL = 24, 32, 28.0
     if prd:
         camera = True
         N_TRAIN, TEXTURE = 3, True  # tight ring -> every pair feasible

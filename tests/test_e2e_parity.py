@@ -192,3 +192,78 @@ class TestBlenderTrajectoryParity:
 
     def test_final_psnr_close(self, blender_parity_report):
         assert blender_parity_report["psnr_final"]["abs_diff_db"] < 0.1
+
+
+@pytest.fixture(scope="module")
+def batching_parity_report(tmp_path_factory):
+    if not os.path.exists(REF):
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("torch")
+    from scripts.ref_parity import main
+
+    workdir = str(tmp_path_factory.mktemp("ref_parity_batching"))
+    report = main(n_steps=24, out_json=None, workdir=workdir, batching=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return report
+
+
+class TestBatchingParity:
+    """The published LLFF sampling path: shuffled global pixel pool with
+    per-ray image indices through the camera, epoch reshuffles replayed."""
+
+    def test_step0_loss_matches(self, batching_parity_report):
+        assert batching_parity_report["loss_rel_diff"]["step0"] < 5e-4
+
+    def test_trajectory_tracks(self, batching_parity_report):
+        assert batching_parity_report["loss_rel_diff"]["first10_max"] < 2e-2
+
+    def test_both_descend(self, batching_parity_report):
+        r = batching_parity_report
+        assert r["our_loss_tail"][-1] < r["our_loss_head"][0]
+        assert r["ref_loss_tail"][-1] < r["ref_loss_head"][0]
+
+
+@pytest.fixture(scope="module")
+def render_parity_report(tmp_path_factory):
+    if not os.path.exists(REF):
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("torch")
+    from scripts.ref_parity import main
+
+    workdir = str(tmp_path_factory.mktemp("ref_parity_render"))
+    report = main(n_steps=12, out_json=None, workdir=workdir,
+                  render_check=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return report
+
+
+class TestRenderPathParity:
+    """Per-pixel eval-render comparison from the REFERENCE's final weights
+    (isolates the full-image render path from trajectory chaos)."""
+
+    def test_render_matches_per_pixel(self, render_parity_report):
+        assert render_parity_report["render_path_max_abs_rgb_diff"] < 5e-3
+
+
+@pytest.fixture(scope="module")
+def nerfpp_parity_report(tmp_path_factory):
+    if not os.path.exists("/root/reference/nerfplusplus/ddp_train_nerf.py"):
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("torch")
+    from scripts.ref_parity_nerfpp import main
+
+    workdir = str(tmp_path_factory.mktemp("ref_parity_nerfpp"))
+    report = main(n_steps=15, out_json=None, workdir=workdir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return report
+
+
+class TestNerfPPParity:
+    """Suite guard for the NeRF++ harness (plain regime, full RNG replay
+    with injected uniforms)."""
+
+    def test_step0_loss_matches(self, nerfpp_parity_report):
+        assert nerfpp_parity_report["loss_rel_diff"]["step0"] < 1e-4
+
+    def test_trajectory_tracks(self, nerfpp_parity_report):
+        assert nerfpp_parity_report["loss_rel_diff"]["first10_max"] < 5e-3
