@@ -172,8 +172,10 @@ def _render_nerfpp(cfg, expdir, ckpt_dir, out_dir, args):
     print(f"[eval] psnr={res['psnr']:.2f} ssim={res['ssim']:.4f} "
           f"views={res['n_views']} split={res['split']}{extra}")
     for i in range(res["n_views"]):
-        # dump the SAME views the metrics were computed on
-        if data is not None:
+        # dump the SAME views (same ray path) the metrics were computed on:
+        # held-out poses via the learned K, train indices via the full
+        # learned camera (what evaluate_nerfpp renders).
+        if data is not None and data is not exp.train_data:
             out = render_nerfpp_image(exp, c2w=data.poses[i],
                                       K=data.intrinsics[i],
                                       hw=(data.H, data.W))
