@@ -20,6 +20,7 @@ def raw2outputs(
     white_bkgd: bool = False,
     noise_key=None,
     sigma_activation: str = "relu",
+    noise=None,
 ):
     """Composite raw ``[rgb, sigma]`` samples into per-ray maps.
 
@@ -44,7 +45,10 @@ def raw2outputs(
 
     rgb = jax.nn.sigmoid(raw[..., :3])
     sigma = raw[..., 3]
-    if raw_noise_std > 0.0:
+    if noise is not None:
+        # externally-supplied standard normals (RNG replay), pre-scaled here
+        sigma = sigma + noise * raw_noise_std
+    elif raw_noise_std > 0.0:
         sigma = sigma + jax.random.normal(noise_key, sigma.shape) * raw_noise_std
     if sigma_activation == "relu":
         sigma = jax.nn.relu(sigma)

@@ -60,6 +60,7 @@ def render_rays(
     near,
     far,
     key,
+    rands: dict | None = None,
 ) -> dict[str, Any]:
     """Render a batch of rays with the coarse(+fine) cascade.
 
@@ -69,10 +70,16 @@ def render_rays(
       viewdirs: ``(N, 3)`` unit world-space view directions or None.
       near, far: scalars or ``(N,)``.
       key: PRNG key.
+      rands: optional externally-drawn randoms for exact replay of the
+        reference's torch stream (trajectory-parity harness). Keys:
+        ``t`` (N, S) perturb uniforms, ``noise0`` (N, S) and ``noise1``
+        (N, S+S_imp) standard normals for the sigma regularizer, ``u``
+        (N, S_imp) inverse-CDF uniforms. Any subset may be given.
     Returns:
       dict: rgb, disp, acc, depth (+ rgb0/disp0/acc0/z_std when fine active).
     """
     n = rays_o.shape[0]
+    rands = rands or {}
     near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), (n,))
     far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n,))
     k_strat, k_pdf, k_noise0, k_noise1 = jax.random.split(key, 4)
@@ -80,6 +87,7 @@ def render_rays(
     z_vals = stratified_z_vals(
         k_strat, near, far, render_cfg.n_samples,
         lindisp=render_cfg.lindisp, perturb=render_cfg.perturb,
+        t_rand=rands.get("t"),
     )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     raw = query_field_chunked(
@@ -90,6 +98,7 @@ def render_rays(
         raw_noise_std=render_cfg.raw_noise_std,
         white_bkgd=render_cfg.white_bkgd,
         noise_key=k_noise0,
+        noise=rands.get("noise0"),
     )
 
     out = {
@@ -107,6 +116,8 @@ def render_rays(
         impl = render_cfg.pdf_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if "u" in rands:
+            impl = "xla"  # the Pallas kernel has no u-injection path
         if impl == "pallas":
             from scnerf_tpu.kernels.pdf_pallas import sample_pdf_pallas
 
@@ -118,6 +129,7 @@ def render_rays(
             z_samples = sample_pdf(
                 k_pdf, z_mid, w_mid,
                 render_cfg.n_importance, det=not render_cfg.perturb,
+                u=rands.get("u"),
             )
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
@@ -130,6 +142,7 @@ def render_rays(
             raw_noise_std=render_cfg.raw_noise_std,
             white_bkgd=render_cfg.white_bkgd,
             noise_key=k_noise1,
+            noise=rands.get("noise1"),
         )
         out.update(
             rgb=fine["rgb"], disp=fine["disp"], acc=fine["acc"], depth=fine["depth"],

@@ -18,6 +18,7 @@ def stratified_z_vals(
     n_samples: int,
     lindisp: bool = False,
     perturb: bool = True,
+    t_rand=None,
 ):
     """Coarse depth values per ray.
 
@@ -27,6 +28,7 @@ def stratified_z_vals(
       n_samples: static sample count.
       lindisp: sample linearly in inverse depth.
       perturb: stratified jitter within each interval.
+      t_rand: optional externally-supplied uniforms (RNG replay).
     Returns:
       ``(N, n_samples)`` sorted depths.
     """
@@ -38,8 +40,8 @@ def stratified_z_vals(
     else:
         z = near * (1.0 - t) + far * t
     z = jnp.broadcast_to(z, (near.shape[0], n_samples))
-    if perturb:
-        z = perturb_z_vals(key, z)
+    if perturb or t_rand is not None:
+        z = perturb_z_vals(key, z, t_rand=t_rand)
     return z
 
 

@@ -107,6 +107,7 @@ def make_train_step(
             train_cfg.near,
             train_cfg.far,
             key,
+            rands=batch.get("rands"),
         )
         target = batch["target"]
         # The reference clamps rgb >= 1 to 1 in-place before the loss

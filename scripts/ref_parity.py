@@ -228,7 +228,7 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
                   blender: bool = False, custom_optim: bool = False,
                   batching: bool = False, scratch: bool = False,
                   noise: bool = False, render_check: bool = False,
-                  precrop: bool = False):
+                  precrop: bool = False, fullnoise: bool = False):
     """Run the real reference trainer in a subprocess; returns (mse (n,2)
     fine/coarse, final coarse+fine[+camera] params in OUR layout)."""
     out_npz = os.path.join(workdir, "ref_out.npz")
@@ -250,7 +250,8 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
                         else N_RAND_BATCHING if batching else H * W),
         "--N_samples", str(SAMPLES["n_samples"]),
         "--N_importance", str(SAMPLES["n_importance"]),
-        "--perturb", "0.0", "--raw_noise_std", "0.0",
+        "--perturb", "1.0" if fullnoise else "0.0",
+        "--raw_noise_std", "1.0" if fullnoise else "0.0",
         "--lrate", str(LR), "--lrate_decay", str(LR_DECAY),
         "--chunk", "32768", "--netchunk_per_gpu", "65536",
         "--N_iters", str(n_steps + 1),
@@ -326,7 +327,8 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
              camera: bool = False, ndc: bool = False, prd: bool = False,
              blender: bool = False, custom_optim: bool = False,
              batching: bool = False, scratch: bool = False,
-             noise: bool = False, precrop: bool = False):
+             noise: bool = False, precrop: bool = False,
+             fullnoise: bool = False):
     """Run our trainer on the identical workload; returns (loss, psnr,
     final params). ``loss`` is the PHOTOMETRIC part (fine + coarse mse),
     matching what the reference-side tap records."""
@@ -362,6 +364,8 @@ def run_ours(scene_dir: str, n_steps: int, model_cfg, init_params,
         return _run_ours_batching(d, n_steps, model_cfg, init_params, ndc=ndc)
     if precrop:
         return _run_ours_precrop(d, n_steps, model_cfg, init_params)
+    if fullnoise:
+        return _run_ours_fullnoise(d, n_steps, model_cfg, init_params)
     (train_idx,) = [int(i) for i in d.i_train]
     if ndc:
         near, far = 0.0, 1.0  # load_llff_data's NDC bounds (run_nerf.py:148-149)
@@ -558,6 +562,108 @@ def _run_ours_precrop(d, n_steps: int, model_cfg, init_params):
     assert n_crop_steps > 0 and n_crop_steps < n_steps, n_crop_steps
     print(f"[ref_parity] precrop regime: {n_crop_steps} cropped steps, "
           f"{n_steps - n_crop_steps} full-grid steps")
+    return np.asarray(losses), np.asarray(psnrs), state.params
+
+
+def _run_ours_fullnoise(d, n_steps: int, model_cfg, init_params):
+    """The TRUE stochastic fern semantics: ``perturb=1`` stratified jitter,
+    ``raw_noise_std=1`` sigma regularizer, non-deterministic inverse-CDF —
+    with the reference's torch stream replayed draw-for-draw and injected
+    into our jitted step (``render_rays(rands=...)``).
+
+    Stream alignment: ``fix_seeds(777)`` seeds torch BEFORE ``create_nerf``
+    constructs the coarse+fine torch modules (xavier draws), so the
+    harness reproduces those exact constructions via the reference's own
+    ``run_nerf_helpers.NeRF`` before replaying the per-step draws. Per
+    reference step (render.py:186-300, one chunk at chunk=32768):
+    ``t_rand`` (N, S) uniform -> ``noise0`` (N, S) normal -> ``u``
+    (N, S_imp) uniform -> ``noise1`` (N, S+S_imp) normal, all in the RAY
+    order given by the replayed no-replacement pixel permutation over the
+    x-major coordinate grid — scattered back to our pixel-order batch.
+    """
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from scnerf_tpu.camera import CameraConfig, OPENGL, init_camera
+    from scnerf_tpu.render.renderer import RenderConfig
+    from scnerf_tpu.train.curriculum import Curriculum
+    from scnerf_tpu.train.optim import make_optimizer
+    from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
+
+    i_train = np.asarray(d.i_train)
+    local = {int(g): li for li, g in enumerate(i_train)}
+    near = float(d.bds.min()) * 0.9
+    far = float(d.bds.max())
+    K_init = d.gt_intrinsic.copy()
+    K_init[0, 0] = K_init[1, 1] = d.noisy_focal
+    cam = init_camera(
+        K_init, d.noisy_poses[i_train],
+        CameraConfig(H=H, W=W, grid_size=10, convention=OPENGL,
+                     ray_o_noise_scale=1e-4, ray_d_noise_scale=1e-4,
+                     extrinsics_noise_scale=1.0, intrinsics_noise_scale=1.0),
+    )
+    params = dict(init_params, camera=cam)
+    render_cfg = RenderConfig(
+        n_samples=SAMPLES["n_samples"], n_importance=SAMPLES["n_importance"],
+        perturb=True, raw_noise_std=1.0, use_viewdirs=True, pdf_impl="xla",
+    )
+    train_cfg = TrainConfig(lr_init=LR, lr_decay_steps=LR_DECAY * 1000,
+                            near=near, far=far, use_ndc=False)
+    tx = make_optimizer(LR, LR_DECAY * 1000, params_example=params)
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(model_cfg, render_cfg, train_cfg, Curriculum(),
+                              tx, with_prd=False, donate=False)
+
+    # --- torch stream alignment: replicate create_nerf's init draws ------
+    spec = importlib.util.spec_from_file_location(
+        "_ref_helpers", "/root/reference/NeRF/run_nerf_helpers.py")
+    helpers = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_helpers"] = helpers
+    spec.loader.exec_module(helpers)
+    helpers.fix_seeds(777)
+    in_ch = 3 + 3 * 2 * MLP["multires"]
+    in_ch_views = 3 + 3 * 2 * MLP["multires_views"]
+    for _ in range(2):  # coarse then fine (create_nerf.py:53-65)
+        helpers.NeRF(D=MLP["depth"], W=MLP["width"], input_ch=in_ch,
+                     output_ch=5, skips=list(MLP["skips"]),
+                     input_ch_views=in_ch_views, use_viewdirs=True)
+    np.random.seed(777)  # fix_seeds seeded np too; restate for clarity
+
+    n = H * W
+    S, S_imp = SAMPLES["n_samples"], SAMPLES["n_importance"]
+    px_all = jnp.asarray((np.arange(n) % W).astype(np.float32))
+    py_all = jnp.asarray((np.arange(n) // W).astype(np.float32))
+    losses, psnrs = [], []
+    key = jax.random.key(0)
+    for it in range(n_steps):
+        img_i = int(np.random.choice(i_train))
+        sel = np.random.choice(n, size=[n], replace=False)
+        # ray p sits at x-major flat coord sel[p] -> row-major pixel index
+        pix = (sel % H) * W + (sel // H)
+
+        def scatter(a):
+            b = np.empty_like(a)
+            b[pix] = a
+            return jnp.asarray(b)
+
+        t_rand = scatter(torch.rand(n, S).numpy())
+        noise0 = scatter(torch.randn(n, S).numpy())
+        u = scatter(torch.rand(n, S_imp).numpy())
+        noise1 = scatter(torch.randn(n, S + S_imp).numpy())
+
+        batch = {
+            "px": px_all,
+            "py": py_all,
+            "img_idx": jnp.full((n,), local[img_i], jnp.int32),
+            "target": jnp.asarray(d.images[img_i].reshape(-1, 3)),
+            "rands": {"t": t_rand, "noise0": noise0, "u": u, "noise1": noise1},
+        }
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, it))
+        losses.append(float(metrics["mse"]) + float(metrics["mse0"]))
+        psnrs.append(float(metrics["psnr"]))
     return np.asarray(losses), np.asarray(psnrs), state.params
 
 
@@ -826,7 +932,8 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
          camera: bool = False, ndc: bool = False, prd: bool = False,
          blender: bool = False, custom_optim: bool = False,
          batching: bool = False, scratch: bool = False, noise: bool = False,
-         render_check: bool = False, precrop: bool = False):
+         render_check: bool = False, precrop: bool = False,
+         fullnoise: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -849,6 +956,8 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         camera = True  # noisy-start self-calibration
     if precrop:
         camera = True  # per-image camera path with the early center crop
+    if fullnoise:
+        camera = True  # stochastic fern semantics, camera path
     workdir = workdir or tempfile.mkdtemp(prefix="ref_parity_")
     scene = os.path.join(workdir, "scene")
     (build_blender_scene if blender else build_scene)(scene)
@@ -864,7 +973,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
                                        blender=blender, custom_optim=custom_optim,
                                        batching=batching, scratch=scratch,
                                        noise=noise, render_check=render_check,
-                                       precrop=precrop)
+                                       precrop=precrop, fullnoise=fullnoise)
     ref_loss = ref_mse.sum(1)
     ref_psnr = -10.0 * np.log10(ref_mse[:, 0])
 
@@ -873,7 +982,8 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
                                              prd=prd, blender=blender,
                                              custom_optim=custom_optim,
                                              batching=batching, scratch=scratch,
-                                             noise=noise, precrop=precrop)
+                                             noise=noise, precrop=precrop,
+                                             fullnoise=fullnoise)
 
     rel = np.abs(our_loss - ref_loss) / np.maximum(ref_loss, 1e-12)
     w_diff = {
@@ -903,6 +1013,7 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         "scratch": bool(scratch),
         "noise": bool(noise),
         "precrop": bool(precrop),
+        "fullnoise": bool(fullnoise),
         "n_steps": n_steps,
         "loss_rel_diff": {
             "step0": float(rel[0]),
@@ -961,8 +1072,11 @@ if __name__ == "__main__":
     ap.add_argument("--precrop", action="store_true",
                     help="per-image path with the early center-crop phase "
                          "(precrop_iters = steps/2), RNG replayed")
+    ap.add_argument("--fullnoise", action="store_true",
+                    help="stochastic fern semantics: perturb=1 + "
+                         "raw_noise_std=1 with the torch stream replayed")
     a = ap.parse_args()
     main(a.steps, a.out, a.workdir, camera=a.camera, ndc=a.ndc, prd=a.prd,
          blender=a.blender, custom_optim=a.custom_optim, batching=a.batching,
          scratch=a.scratch, noise=a.noise, render_check=a.render_check,
-         precrop=a.precrop)
+         precrop=a.precrop, fullnoise=a.fullnoise)
