@@ -39,6 +39,10 @@ Regimes (flags compose where the reference's do):
   --scratch       main_table_1 from-scratch (run_without_colmap both)
   --noise         injected camera noise with the loader RNG replayed
   --precrop       early center-crop phase (two-phase draw replay)
+  --fullnoise     TRUE fern training semantics: perturb=1 +
+                  raw_noise_std=1 + non-det inverse-CDF, torch stream
+                  replayed and injected (the tightest regime: common
+                  random numbers couple the trajectories)
   --render        plus per-pixel end-of-training render comparison
 
 Usage: python scripts/ref_parity.py [--steps 200] [--out PARITY_TRAJ.json]

@@ -267,3 +267,29 @@ class TestNerfPPParity:
 
     def test_trajectory_tracks(self, nerfpp_parity_report):
         assert nerfpp_parity_report["loss_rel_diff"]["first10_max"] < 5e-3
+
+
+@pytest.fixture(scope="module")
+def fullnoise_parity_report(tmp_path_factory):
+    if not os.path.exists(REF):
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("torch")
+    from scripts.ref_parity import main
+
+    workdir = str(tmp_path_factory.mktemp("ref_parity_fullnoise"))
+    report = main(n_steps=12, out_json=None, workdir=workdir, fullnoise=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return report
+
+
+class TestFullNoiseParity:
+    """The TRUE stochastic fern semantics (perturb=1 + raw_noise_std=1 +
+    non-det inverse-CDF) with the reference's torch stream injected as
+    common random numbers — couples the trajectories, so tolerances are
+    the tightest of any regime."""
+
+    def test_step0_loss_matches(self, fullnoise_parity_report):
+        assert fullnoise_parity_report["loss_rel_diff"]["step0"] < 1e-4
+
+    def test_trajectory_tracks(self, fullnoise_parity_report):
+        assert fullnoise_parity_report["loss_rel_diff"]["first10_max"] < 2e-2
