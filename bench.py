@@ -196,5 +196,43 @@ def _nerfpp_throughput(n_rand: int = 2048, iters: int = 20) -> float:
     return n_rand * iters / (time.perf_counter() - t0)
 
 
+def _main_with_retry(attempts: int = 3, timeout_s: int = 480) -> int:
+    """Run the measurement in a subprocess with a timeout, retrying on a
+    hang. The axon TPU tunnel intermittently wedges NEW client sessions at
+    setup (threads parked in RPC wait, zero progress — see CLAUDE.md
+    "Environment gotchas"); a wedged attempt would otherwise hang this
+    process forever. The chip itself recovers immediately, so a fresh
+    subprocess usually succeeds."""
+    import subprocess
+    import sys
+
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_inner"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {i + 1}/{attempts} hung after "
+                  f"{timeout_s}s (axon session wedge); retrying",
+                  file=sys.stderr)
+            continue
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        last = (r.stdout[-2000:] + "\n" + r.stderr[-2000:]).strip()
+        print(f"[bench] attempt {i + 1}/{attempts} failed rc={r.returncode}",
+              file=sys.stderr)
+    print(f"[bench] all attempts failed; last output:\n{last}", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--_inner" in sys.argv:
+        main()
+    else:
+        raise SystemExit(_main_with_retry())
