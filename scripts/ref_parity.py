@@ -73,6 +73,12 @@ N_RAND_BATCHING = 256  # --batching regime: divides 2*H*W so no short batch
 # --noise regime: the calibration_ablation protocol's injected noise sizes
 NOISE_SIZES = dict(intrinsic=0.1, rotation=2.0, translation=0.05)
 N_RAND_PRECROP = 192  # --precrop regime: < the center-crop pixel count
+# --fullnoise regime ray count; None = H*W (the toy permutation setup).
+# scripts/ref_parity_fullshape.py sets 1024 (the published fern N_rand) —
+# determinism then comes from replaying the no-replacement pixel draw
+# itself, not from permutation invariance.
+N_RAND_FULLNOISE: int | None = None
+REF_TIMEOUT = 3600  # reference-subprocess budget; raised for full shapes
 
 
 def scene_image(i: int) -> np.ndarray:
@@ -251,7 +257,9 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
         "--multires", str(MLP["multires"]),
         "--multires_views", str(MLP["multires_views"]),
         "--N_rand", str(N_RAND_PRECROP if precrop
-                        else N_RAND_BATCHING if batching else H * W),
+                        else N_RAND_BATCHING if batching
+                        else (N_RAND_FULLNOISE or H * W) if fullnoise
+                        else H * W),
         "--N_samples", str(SAMPLES["n_samples"]),
         "--N_importance", str(SAMPLES["n_importance"]),
         "--perturb", "1.0" if fullnoise else "0.0",
@@ -302,7 +310,7 @@ def run_reference(scene_dir: str, n_steps: int, init_tar: str, workdir: str,
     json.dump(spec, open(spec_path, "w"))
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "_ref_driver.py"), spec_path],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=REF_TIMEOUT,
     )
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:] + "\n")
@@ -637,6 +645,7 @@ def _run_ours_fullnoise(d, n_steps: int, model_cfg, init_params):
     np.random.seed(777)  # fix_seeds seeded np too; restate for clarity
 
     n = H * W
+    n_rand = N_RAND_FULLNOISE or n
     S, S_imp = SAMPLES["n_samples"], SAMPLES["n_importance"]
     px_all = jnp.asarray((np.arange(n) % W).astype(np.float32))
     py_all = jnp.asarray((np.arange(n) // W).astype(np.float32))
@@ -644,27 +653,52 @@ def _run_ours_fullnoise(d, n_steps: int, model_cfg, init_params):
     key = jax.random.key(0)
     for it in range(n_steps):
         img_i = int(np.random.choice(i_train))
-        sel = np.random.choice(n, size=[n], replace=False)
-        # ray p sits at x-major flat coord sel[p] -> row-major pixel index
-        pix = (sel % H) * W + (sel // H)
+        sel = np.random.choice(n, size=[n_rand], replace=False)
+        if n_rand == n:
+            # Toy setup: the draw is a permutation of ALL pixels, so feed
+            # the full image in row-major order and scatter the replayed
+            # rands from ray order to pixel order.
+            # ray p sits at x-major flat coord sel[p] -> row-major index
+            pix = (sel % H) * W + (sel // H)
 
-        def scatter(a):
-            b = np.empty_like(a)
-            b[pix] = a
-            return jnp.asarray(b)
+            def scatter(a):
+                b = np.empty_like(a)
+                b[pix] = a
+                return jnp.asarray(b)
 
-        t_rand = scatter(torch.rand(n, S).numpy())
-        noise0 = scatter(torch.randn(n, S).numpy())
-        u = scatter(torch.rand(n, S_imp).numpy())
-        noise1 = scatter(torch.randn(n, S + S_imp).numpy())
-
-        batch = {
-            "px": px_all,
-            "py": py_all,
-            "img_idx": jnp.full((n,), local[img_i], jnp.int32),
-            "target": jnp.asarray(d.images[img_i].reshape(-1, 3)),
-            "rands": {"t": t_rand, "noise0": noise0, "u": u, "noise1": noise1},
-        }
+            t_rand = scatter(torch.rand(n, S).numpy())
+            noise0 = scatter(torch.randn(n, S).numpy())
+            u = scatter(torch.rand(n, S_imp).numpy())
+            noise1 = scatter(torch.randn(n, S + S_imp).numpy())
+            batch = {
+                "px": px_all,
+                "py": py_all,
+                "img_idx": jnp.full((n,), local[img_i], jnp.int32),
+                "target": jnp.asarray(d.images[img_i].reshape(-1, 3)),
+                "rands": {"t": t_rand, "noise0": noise0,
+                          "u": u, "noise1": noise1},
+            }
+        else:
+            # Full-shape setup (N_rand < H*W, the published fern batch
+            # size): feed exactly the drawn pixels IN THE REFERENCE'S RAY
+            # ORDER, so the replayed torch draws align per-ray with no
+            # scatter. The mean loss over the identical pixel set is
+            # order-invariant, so both objectives match exactly.
+            x = sel // H  # x-major flat coords (camera-branch meshgrid)
+            y = sel % H
+            batch = {
+                "px": jnp.asarray(x.astype(np.float32)),
+                "py": jnp.asarray(y.astype(np.float32)),
+                "img_idx": jnp.full((n_rand,), local[img_i], jnp.int32),
+                "target": jnp.asarray(d.images[img_i][y, x], jnp.float32),
+                "rands": {
+                    "t": jnp.asarray(torch.rand(n_rand, S).numpy()),
+                    "noise0": jnp.asarray(torch.randn(n_rand, S).numpy()),
+                    "u": jnp.asarray(torch.rand(n_rand, S_imp).numpy()),
+                    "noise1": jnp.asarray(
+                        torch.randn(n_rand, S + S_imp).numpy()),
+                },
+            }
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, it))
         losses.append(float(metrics["mse"]) + float(metrics["mse0"]))
         psnrs.append(float(metrics["psnr"]))
@@ -1019,6 +1053,11 @@ def main(n_steps: int = 200, out_json: str | None = None, workdir: str | None = 
         "precrop": bool(precrop),
         "fullnoise": bool(fullnoise),
         "n_steps": n_steps,
+        "shape": {"H": H, "W": W, "mlp": dict(MLP), "samples": dict(SAMPLES),
+                  "n_rand": (N_RAND_PRECROP if precrop
+                             else N_RAND_BATCHING if batching
+                             else (N_RAND_FULLNOISE or H * W) if fullnoise
+                             else H * W)},
         "loss_rel_diff": {
             "step0": float(rel[0]),
             "first10_max": float(rel[:10].max()),
