@@ -1,11 +1,21 @@
-"""Long-run production soak of the NeRF driver on the real TPU chip.
+"""Long-run QUALITY soak of the NeRF driver on the real TPU chip.
 
 Exercises the PUBLISHED default path end-to-end — batching ON with the
-camera model (the shuffled pixel-index pool, per-ray image indices through
-the learnable camera), PRD cadence with SIFT matches, curriculum,
-checkpointing — on a synthetic blender scene, and reports sustained +
-marginal throughput and finiteness. Complements scripts/soak_nerfpp.py
-(the NeRF++ twin) and the CPU trajectory-parity harness.
+camera model (shuffled pixel pool, per-ray image indices through the
+learnable camera), injected camera noise, PRD cadence with exact offline
+matches, curriculum, checkpointing — on a geometrically CONSISTENT
+analytic 3D scene (``scripts/_analytic_scene.py``), so the run asserts
+quality, not just throughput and finiteness (round-2 VERDICT item 2):
+
+  * held-out PSNR over >=2 test views, sampled every ``--eval_every``
+    steps into a curve, gated at ``--psnr_gate`` (default 25 dB);
+  * camera calibration error (rotation deg / translation / focal rel)
+    vs the injected noise, gated on shrinking from its initial value.
+
+The matches fed to the PRD loss are exact correspondences (projected 3D
+blob-surface points) written through the production offline-``.npz``
+provider path (``matching/provider.py:PrecomputedMatches``), the same
+mechanism a SuperGlue dump would use.
 
 Usage: python scripts/soak_nerf.py [--steps 10000] [--out SOAK_NERF.json]
 """
@@ -22,42 +32,109 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+NOISE = dict(intrinsic=0.05, rotation=2.0, translation=0.05)
 
 
-def build_scene(root: str, n_train: int = 8, H: int = 120, W: int = 160):
-    import imageio.v2 as imageio
+def preflight():
+    """Tiny first op so a wedged axon session fails fast instead of
+    hanging the whole soak (CLAUDE.md: intermittent tunnel wedges at
+    session setup; once the first op succeeds the session stays healthy)."""
+    import jax
+    import jax.numpy as jnp
 
-    from scnerf_tpu.data.blender import pose_spherical
+    v = (jnp.arange(4.0) @ jnp.ones((4,))).block_until_ready()
+    print(f"[preflight] backend={jax.default_backend()} ok ({float(v)})",
+          flush=True)
 
-    rng = np.random.RandomState(99)
-    base = rng.rand(H, W * 2, 3)  # translated texture per view
-    for split, n in (("train", n_train), ("val", 2), ("test", 2)):
-        os.makedirs(os.path.join(root, split), exist_ok=True)
-        frames = []
-        for i in range(n):
-            pose = np.array(pose_spherical(i * 360.0 / max(n, 3), -30.0, 4.0))
-            img = np.zeros((H, W, 4))
-            img[..., :3] = base[:, 2 * i : 2 * i + W]
-            img[..., 3] = 1.0
-            u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-            imageio.imwrite(os.path.join(root, split, f"r_{i}.png"), u8)
-            frames.append({"file_path": f"./{split}/r_{i}",
-                           "transform_matrix": pose.tolist()})
-        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
-            json.dump({"camera_angle_x": 0.69, "frames": frames}, f)
+
+def write_exact_matches(path: str, gt_poses, i_train, focal: float,
+                        H: int, W: int, n_pts: int = 600,
+                        min_matches: int = 16) -> int:
+    """Exact correspondences: 3D points drawn on the analytic blobs,
+    projected through the GT cameras (OPENGL, the ablation's formula),
+    stored per train-pair in the production .npz match-cache format."""
+    from _analytic_scene import _CENTERS, _WIDTHS
+
+    from scnerf_tpu.matching.provider import PairMatches, PrecomputedMatches
+
+    rng = np.random.RandomState(7)
+    pts = np.concatenate([
+        c + rng.randn(n_pts // len(_CENTERS), 3) * np.sqrt(w / 2.0)
+        for c, w in zip(_CENTERS, _WIDTHS)
+    ])
+
+    def project(E):
+        cam = (pts - E[:3, 3]) @ E[:3, :3]
+        zc = -cam[:, 2]
+        u = W / 2.0 + focal * cam[:, 0] / np.maximum(zc, 1e-6)
+        v = H / 2.0 - focal * cam[:, 1] / np.maximum(zc, 1e-6)
+        ok = (zc > 0.5) & (u >= 1) & (u < W - 1) & (v >= 1) & (v < H - 1)
+        return np.stack([u, v], -1).astype(np.float32), ok
+
+    cache = PrecomputedMatches()
+    n_pairs = 0
+    for a in range(len(i_train)):
+        for b in range(a + 1, len(i_train)):
+            pa, oka = project(gt_poses[i_train[a]])
+            pb, okb = project(gt_poses[i_train[b]])
+            ok = oka & okb
+            if ok.sum() >= min_matches:
+                cache.put(a, b, PairMatches(pa[ok], pb[ok]))
+                n_pairs += 1
+    cache.save(path)
+    return n_pairs
+
+
+def camera_errors(exp) -> dict:
+    """Calibration error of the learned camera vs GT, Sim(3)-aligned
+    (the ATE protocol of ``geometry/alignment.py``)."""
+    import jax.numpy as jnp
+
+    from scnerf_tpu.camera.model import get_extrinsics, get_intrinsic
+    from scnerf_tpu.geometry.alignment import align_c2w_trajectories, apply_sim3
+
+    cam = exp.state.params.get("camera")
+    if cam is None:
+        return {}
+    learned = np.asarray(get_extrinsics(cam))
+    gt = exp.gt_poses[exp.i_train]
+    _, (s, R, t) = align_c2w_trajectories(jnp.asarray(gt), jnp.asarray(learned))
+    aligned = np.asarray(apply_sim3(jnp.asarray(gt), s, R, t))
+    tr = np.einsum("nij,nij->n", aligned[:, :3, :3], learned[:, :3, :3])
+    rot_deg = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    trans = np.linalg.norm(aligned[:, :3, 3] - learned[:, :3, 3], axis=-1)
+    K = np.asarray(get_intrinsic(cam))
+    f_gt = float(exp.gt_intrinsic[0, 0])
+    return {
+        "rot_err_deg": float(rot_deg.mean()),
+        "trans_err": float(trans.mean()),
+        "focal_rel_err": float(abs(K[0, 0] - f_gt) / f_gt),
+    }
 
 
 def main(n_steps: int, out_json: str | None, workdir: str | None,
-         small: bool = False):
+         small: bool = False, eval_every: int = 1000,
+         psnr_gate: float = 25.0):
+    preflight()
     workdir = workdir or tempfile.mkdtemp(prefix="soak_nerf_")
     scene = os.path.join(workdir, "scene")
-    build_scene(scene, H=40 if small else 120, W=56 if small else 160)
+    from _analytic_scene import build_blender_scene
+
+    H, W = (40, 56) if small else (120, 160)
+    build_blender_scene(scene, n_train=12, n_val=2, n_test=2, H=H, W=W)
 
     from scnerf_tpu.core.config import experiment_from_flags
-    from scnerf_tpu.train.driver import build_experiment, sample_batch, train_loop
+    from scnerf_tpu.train.driver import (
+        build_experiment,
+        evaluate_test_views,
+        sample_batch,
+        train_loop,
+    )
 
     cfg = experiment_from_flags({
-        "dataset_type": "blender", "datadir": scene,
+        "dataset_type": "blender", "datadir": scene, "testskip": 1,
         "N_rand": 128 if small else 1024,
         "N_samples": 8 if small else 64,
         "N_importance": 8 if small else 64,
@@ -66,6 +143,9 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "camera_model": "pinhole_rot_noise_10k_rayo_rayd",
         "ray_loss_type": "proj_ray_dist", "matcher": "sift",
         "i_ray_dist_loss": 10, "add_ie": 0, "add_od": 1000, "add_prd": 2000,
+        "initial_noise_size_intrinsic": NOISE["intrinsic"],
+        "initial_noise_size_rotation": NOISE["rotation"],
+        "initial_noise_size_translation": NOISE["translation"],
         "i_print": 1000, "i_img": 10 ** 9, "i_testset": 10 ** 9,
         "i_video": 10 ** 9, "i_weights": max(n_steps // 2, 1),
         "expname": "soak", "basedir": workdir,
@@ -73,16 +153,49 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
     expdir = os.path.join(workdir, "soak")
     os.makedirs(expdir, exist_ok=True)
 
+    # Exact offline matches through the production .npz provider path
+    # (build_experiment prefers expdir/matches.npz over running SIFT).
+    from scnerf_tpu.data.blender import load_blender
+
+    d0 = load_blender(scene, half_res=False, testskip=1)
+    n_pairs = write_exact_matches(
+        os.path.join(expdir, "matches.npz"), d0.gt_poses, d0.i_split[0],
+        d0.gt_intrinsic[0, 0], H, W)
+    print(f"[soak] exact-match cache: {n_pairs} train pairs", flush=True)
+
     t0 = time.perf_counter()
     exp = build_experiment(cfg, expdir)
     assert exp.pixel_pool is not None, "expected the batching+camera pool"
-    state, metrics = train_loop(exp, n_steps,
-                                ckpt_dir=os.path.join(expdir, "ckpts"))
+    assert exp.match_cache is not None and len(exp.match_cache.pairs()) > 0, \
+        "PRD match cache empty — the PRD path would be vacuous"
+
+    curve = []
+
+    def snapshot(step):
+        ev = evaluate_test_views(exp, max_views=2)
+        row = {"step": int(step),
+               **{k: float(v) for k, v in ev.items()
+                  if isinstance(v, (int, float, np.floating))},
+               **camera_errors(exp)}
+        curve.append(row)
+        print(f"[soak] {json.dumps(row)}", flush=True)
+
+    snapshot(0)
+    state = exp.state
+    for seg_end in range(eval_every, n_steps + 1, eval_every):
+        state, metrics = train_loop(exp, seg_end,
+                                    ckpt_dir=os.path.join(expdir, "ckpts"))
+        exp.state = state
+        snapshot(seg_end)
+    if n_steps % eval_every:
+        state, metrics = train_loop(exp, n_steps,
+                                    ckpt_dir=os.path.join(expdir, "ckpts"))
+        exp.state = state
+        snapshot(n_steps)
     total_dt = time.perf_counter() - t0
 
     import jax
 
-    exp.state = state
     t1 = time.perf_counter()
     extra = 500
     key = jax.random.key(123)
@@ -93,12 +206,27 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
     marginal_dt = time.perf_counter() - t1
     final_metrics = {k: float(v) for k, v in m.items() if np.ndim(v) == 0}
 
-    from scnerf_tpu.train.driver import evaluate_test_views
-
-    ev = evaluate_test_views(exp, max_views=1)
+    ev = evaluate_test_views(exp, max_views=None)  # ALL test views
+    cam_err = camera_errors(exp)
+    quality = {
+        "heldout_psnr_final": float(ev["psnr"]),
+        "heldout_n_views": int(ev["n_views"]),
+        "psnr_gate_db": psnr_gate,
+        "psnr_gate_pass": bool(ev["psnr"] > psnr_gate),
+        "camera_err_initial": curve[0] and {
+            k: curve[0][k] for k in ("rot_err_deg", "trans_err",
+                                     "focal_rel_err") if k in curve[0]},
+        "camera_err_final": cam_err,
+        "camera_gate_pass": bool(
+            cam_err.get("rot_err_deg", 0.0) < curve[0].get("rot_err_deg", np.inf)
+            and cam_err.get("trans_err", 0.0) < curve[0].get("trans_err", np.inf)
+        ),
+    }
     report = {
         "n_steps": n_steps + extra,
         "n_rand": cfg.sampling.N_rand,
+        "scene": "analytic 3-blob field (consistent 3D), black background",
+        "injected_noise": NOISE,
         "sampling_path": "pixel_pool (batching+camera, the published default)",
         "train_rays_per_sec_incl_compile": round(
             n_steps * cfg.sampling.N_rand / total_dt, 1),
@@ -108,6 +236,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "finite": bool(all(np.isfinite(v) for v in final_metrics.values())),
         "heldout_eval": {k: float(v) for k, v in ev.items()
                          if isinstance(v, (int, float, np.floating))},
+        "quality": quality,
+        "eval_curve": curve,
         "backend": jax.default_backend(),
     }
     print(json.dumps(report, indent=2))
@@ -121,7 +251,17 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("--eval_every", type=int, default=1000)
+    ap.add_argument("--psnr_gate", type=float, default=25.0)
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes (CPU smoke of the soak mechanics)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin "
+                         "ignores JAX_PLATFORMS; this uses jax.config)")
     a = ap.parse_args()
-    main(a.steps, a.out, a.workdir, small=a.small)
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    main(a.steps, a.out, a.workdir, small=a.small, eval_every=a.eval_every,
+         psnr_gate=a.psnr_gate)
