@@ -22,6 +22,35 @@ import numpy as np
 
 
 V100_RAYS_PER_SEC = 10_000.0
+# TPU v5e per-chip peaks (public spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
+# Our hot path computes in f32, so "mfu_vs_bf16_peak" is a conservative
+# lower bound on how well the step uses the chip.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BPS = 819e9
+
+
+def _cost_extras(compiled, dt: float) -> dict:
+    """Round-2 VERDICT item 4: measured FLOPs + HBM bytes per step from
+    XLA's compiled cost analysis, so the 'HBM-bound' claim carries a
+    number. ``dt`` is the measured wall seconds per step."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        if flops <= 0 and byts <= 0:
+            return {}
+        out = {"flops_per_step": flops, "hbm_bytes_per_step": byts}
+        if flops > 0:
+            out["achieved_tflops"] = round(flops / dt / 1e12, 3)
+            out["mfu_vs_bf16_peak"] = round(flops / dt / V5E_PEAK_BF16_FLOPS, 4)
+        if byts > 0:
+            out["achieved_hbm_gbps"] = round(byts / dt / 1e9, 1)
+            out["hbm_util_vs_peak"] = round(byts / dt / V5E_PEAK_HBM_BPS, 4)
+        return out
+    except Exception:
+        return {}
 
 
 def main():
@@ -50,14 +79,16 @@ def main():
     }
     key = jax.random.key(0)
 
-    # Warmup/compile.
-    state, _ = step(state, batch, key)
+    # AOT-compile once; the same executable serves the timing loop AND the
+    # cost analysis (no second compile).
+    compiled_step = step.lower(state, batch, key).compile()
+    state, _ = compiled_step(state, batch, key)
     jax.block_until_ready(state.params)
 
     iters = 50
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        state, metrics = compiled_step(state, batch, jax.random.fold_in(key, i))
     jax.block_until_ready(state.params)
     train_dt = (time.perf_counter() - t0) / iters
     train_rays = N_RAND / train_dt
@@ -122,6 +153,7 @@ def main():
         "baseline_v100_rays_per_sec": V100_RAYS_PER_SEC,
         "target_vs_baseline": 2.0,
     }
+    extras.update(_cost_extras(compiled_step, train_dt))
     if nerfpp_rays is not None:
         extras["nerfpp_train_rays_per_sec"] = round(nerfpp_rays, 1)
     # Honest same-host reference measurement (scripts/measure_ref_baseline.py

@@ -5,10 +5,16 @@ Rebuild of ``/root/reference/NeRF/load_llff.py`` (itself from Fyusion/LLFF):
 recentering, spherify or spiral render path, ``llffhold`` split, and the
 self-calibration noise injection (delegated to ``data/noise.py``).
 
-Host-side numpy. Minification uses PIL area resampling instead of shelling
-out to ImageMagick ``mogrify`` (``load_llff.py:12-61``); downscaled copies
-are cached in ``images_{factor}/`` exactly like the reference so datasets
-are interchangeable.
+Host-side numpy. Minification prefers shelling out to ImageMagick
+``mogrify -resize`` — the exact tool the reference uses
+(``load_llff.py:12-61``), so freshly built caches are bit-identical to the
+reference's where ImageMagick is installed — and falls back to PIL Lanczos
+(the closest PIL filter to ImageMagick's default downscale filter; may
+differ from ``mogrify`` output at the least-significant-bit level).
+Downscaled copies are cached in ``images_{factor}/`` exactly like the
+reference, and an existing cache (as shipped with the published LLFF
+scenes) is always reused untouched, so real-dataset runs start from the
+same pixels as the reference.
 """
 from __future__ import annotations
 
@@ -33,14 +39,35 @@ def _imread(path: str) -> np.ndarray:
 
 
 def _minify(basedir: str, factor: int) -> str:
-    """Create/reuse ``images_{factor}`` with PIL area downsampling."""
+    """Create/reuse ``images_{factor}``: ``mogrify -resize {100/factor}%``
+    when ImageMagick is available (reference-identical,
+    ``load_llff.py:37-56``), else PIL Lanczos."""
+    import shutil
+
     out = os.path.join(basedir, f"images_{factor}")
     src = _list_images(os.path.join(basedir, "images"))
     if os.path.exists(out) and len(_list_images(out)) == len(src):
         return out
+    os.makedirs(out, exist_ok=True)
+    if shutil.which("mogrify"):
+        import subprocess
+
+        for f in src:
+            shutil.copy(f, out)
+        ext = os.path.splitext(src[0])[1].lstrip(".")
+        # the reference's exact invocation: percent resize, png output
+        subprocess.check_output(
+            ["mogrify", "-resize", f"{100.0 / factor}%", "-format", "png",
+             f"*.{ext}"],
+            cwd=out,
+        )
+        if ext.lower() != "png":
+            for f in _list_images(out):
+                if not f.endswith(".png"):
+                    os.remove(f)
+        return out
     from PIL import Image
 
-    os.makedirs(out, exist_ok=True)
     for f in src:
         img = Image.open(f)
         w, h = img.size

@@ -111,7 +111,8 @@ def query_field(params, cfg: NeRFConfig, pts: jnp.ndarray, viewdirs=None):
     return nerf_mlp_apply(params, cfg, pts_enc, views_enc)
 
 
-def query_field_chunked(params, cfg: NeRFConfig, pts, viewdirs, chunk: int):
+def query_field_chunked(params, cfg: NeRFConfig, pts, viewdirs, chunk: int,
+                        stash_bf16: bool = False):
     """Query in sample-chunks via ``lax.scan`` + ``jax.checkpoint``.
 
     HBM-bandwidth optimization: the plain backward pass streams every stored
@@ -120,16 +121,32 @@ def query_field_chunked(params, cfg: NeRFConfig, pts, viewdirs, chunk: int):
     live activation working set small (recomputed adjacent to its use), which
     measured ~35% faster fwd+bwd on v5e at the fern workload. Sample chunks
     are valid because samples are independent until compositing.
+
+    ``stash_bf16`` casts the checkpoint-boundary residuals (the per-chunk
+    sample coordinates) to bf16, halving the stash traffic; the recompute
+    upcasts before the positional encoding so MLP compute stays f32. The
+    coordinate quantization (~3 decimal digits) feeds sin/cos of up to
+    2^9 * x, so high-frequency PE bands see O(0.1) phase noise — measured
+    A/B in docs/perf_nerf.md before considering it for defaults.
     """
     N, S, _ = pts.shape
     if chunk <= 0 or S % chunk != 0 or S == chunk:
         return query_field(params, cfg, pts, viewdirs)
     n_chunks = S // chunk
     chunks = pts.reshape(N, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
-    qf = jax.checkpoint(lambda p, x, v: query_field(p, cfg, x, v))
+    if stash_bf16:
+        chunks = chunks.astype(jnp.bfloat16)
+        vds = viewdirs.astype(jnp.bfloat16) if viewdirs is not None else None
+        qf = jax.checkpoint(
+            lambda p, x, v: query_field(
+                p, cfg, x.astype(jnp.float32),
+                v.astype(jnp.float32) if v is not None else None))
+    else:
+        vds = viewdirs
+        qf = jax.checkpoint(lambda p, x, v: query_field(p, cfg, x, v))
 
     def body(_, pts_c):
-        return None, qf(params, pts_c, viewdirs)
+        return None, qf(params, pts_c, vds)
 
     _, raws = jax.lax.scan(body, None, chunks)  # (n_chunks, N, chunk, C)
     return raws.transpose(1, 0, 2, 3).reshape(N, S, raws.shape[-1])

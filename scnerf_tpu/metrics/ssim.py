@@ -28,6 +28,12 @@ def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
         jnp.transpose(k, (3, 2, 0, 1)),  # (1, 1, kh, kw) OIHW
         window_strides=(1, 1),
         padding="VALID",
+        # TPU convs default to bf16 accumulation; the E[x^2] - mu^2
+        # cancellation below then produces ~1e-3-scale NEGATIVE variances
+        # on converged renders, the denominator crosses zero and
+        # per-window ratios explode (observed: "SSIM" 14.7 on a 32 dB
+        # render). Metric math needs full f32.
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.moveaxis(out[:, 0], 0, -1)
 
@@ -49,8 +55,10 @@ def ssim(
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y
     mu_xy = mu_x * mu_y
-    sigma_xx = _filter2d(pred * pred, kernel) - mu_xx
-    sigma_yy = _filter2d(target * target, kernel) - mu_yy
+    # Variances are nonnegative by definition; the subtraction can round
+    # slightly below zero, so clamp (keeps the denominator >= c2 > 0).
+    sigma_xx = jnp.maximum(_filter2d(pred * pred, kernel) - mu_xx, 0.0)
+    sigma_yy = jnp.maximum(_filter2d(target * target, kernel) - mu_yy, 0.0)
     sigma_xy = _filter2d(pred * target, kernel) - mu_xy
     num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
     den = (mu_xx + mu_yy + c1) * (sigma_xx + sigma_yy + c2)

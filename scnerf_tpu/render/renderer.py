@@ -44,6 +44,9 @@ class RenderConfig:
     # traffic of stored MLP activations in the backward pass; see
     # fields/nerf.py:query_field_chunked.
     remat_chunk: int = static_field(default=16)
+    # Store the remat-boundary residuals in bf16 (A/B lever for the
+    # HBM-bound step; measured in docs/perf_nerf.md — not a default).
+    remat_stash_bf16: bool = static_field(default=False)
 
     def eval_mode(self) -> "RenderConfig":
         """Test-time overrides (``create_nerf.py:86-90``): no jitter/noise."""
@@ -91,7 +94,8 @@ def render_rays(
     )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     raw = query_field_chunked(
-        params["coarse"], model_cfg, pts, viewdirs, render_cfg.remat_chunk
+        params["coarse"], model_cfg, pts, viewdirs, render_cfg.remat_chunk,
+        stash_bf16=render_cfg.remat_stash_bf16,
     )
     coarse = raw2outputs(
         raw, z_vals, rays_d,
@@ -135,7 +139,8 @@ def render_rays(
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
         fine_params = params.get("fine") or params["coarse"]
         raw = query_field_chunked(
-            fine_params, model_cfg, pts, viewdirs, render_cfg.remat_chunk
+            fine_params, model_cfg, pts, viewdirs, render_cfg.remat_chunk,
+            stash_bf16=render_cfg.remat_stash_bf16,
         )
         fine = raw2outputs(
             raw, z_all, rays_d,

@@ -194,12 +194,19 @@ def camera_fields_to_torch(camera) -> dict:
         "ray_o_grid": "ray_o_noise",
         "ray_d_grid": "ray_d_noise",
     }
+    cfg = getattr(camera, "config", None)
     out = {}
     for ours, theirs in mapping.items():
+        if ours.startswith("distortion") and not (
+            cfg is not None and getattr(cfg, "use_distortion", False)
+        ):
+            # Our pytree carries zero distortion leaves even for pinhole
+            # cameras; the reference's pinhole state dicts have no such
+            # keys and load_state_dict rejects unexpected ones.
+            continue
         v = getattr(camera, ours, None)
         if v is not None:
             out[theirs] = np.asarray(v)
-    cfg = getattr(camera, "config", None)
     if cfg is not None and getattr(cfg, "tied_ray_noise", False) and \
             "ray_o_noise" in out and "ray_d_noise" in out:
         s = out["ray_o_noise"] + out["ray_d_noise"]

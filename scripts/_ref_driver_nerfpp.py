@@ -226,6 +226,32 @@ def main():
     args = parser.parse_args(spec["flags"])
     args.world_size = 1
 
+    if spec.get("render_from_ckpt"):
+        # EXPORT ROUND-TRIP mode: no training. Load the checkpoint OUR
+        # exporter wrote (create_nerf's own reload glob over
+        # basedir/expname/*.pth, `create_nerf.py:82-115`) and render one
+        # train view exactly as ddp_test_nerf does
+        # (`ddp_test_nerf.py:163-165`: render_single_image with
+        # camera_idx=idx). Proves the reference can consume our .pth.
+        rk = spec["render_from_ckpt"]
+        ddp_train_nerf.setup(0, 1, args)
+        ray_samplers, camera_info = ddp_train_nerf.load_data_split(
+            args.datadir, args.scene, split=rk.get("split", "train"),
+            try_load_min_depth=args.load_min_depth, args=args)
+        start, models, camera_model = ddp_train_nerf.create_nerf(
+            0, args, camera_info)
+        idx = int(rk.get("idx", 0))
+        ret = ddp_train_nerf.render_single_image(
+            0, 1, models, ray_samplers[idx], args.chunk_size, camera_model,
+            camera_idx=idx if camera_model is not None else None)
+        np.savez(spec["out_npz"],
+                 start=np.asarray(start),
+                 rgb=ret[-1]["rgb"].detach().numpy())
+        print(f"_ref_driver_nerfpp: render_from_ckpt start={start} "
+              f"wrote {spec['out_npz']}")
+        ddp_train_nerf.cleanup()
+        return
+
     ddp_train_nerf.ddp_train_nerf(0, args)
 
     out = {"mse": np.asarray(mses, np.float64)}

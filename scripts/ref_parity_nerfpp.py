@@ -518,6 +518,117 @@ def run_ours(datadir: str, n_steps: int, model_cfg, init_levels, camera: bool,
     return np.asarray(losses), np.asarray(psnrs), state.params
 
 
+def write_export_ckpt(our_final, expdir: str, step: int,
+                      img_paths: list | None = None) -> str:
+    """Export OUR trained NeRF++ state as a reference ``model_{step}.pth``
+    (round-2 VERDICT item 5, the ours->reference direction): per-level
+    ``net_{m}`` state dicts (incl. name-keyed autoexpo entries), the
+    camera state dict (incl. the tied-ray-noise shared buffer), and the
+    ``optim`` stub the reference's merge-on-load accepts
+    (``create_nerf.py:109-113``)."""
+    import torch
+
+    from scnerf_tpu.tools.convert import (
+        camera_fields_to_torch,
+        params_to_torch_nerfnet,
+    )
+
+    os.makedirs(expdir, exist_ok=True)
+    ckpt = {"optim": {"state": {}}}
+    for m, lvl in enumerate(our_final["levels"]):
+        ckpt[f"net_{m}"] = {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in params_to_torch_nerfnet(lvl, img_paths=img_paths).items()
+        }
+    if our_final.get("camera") is not None:
+        ckpt["camera_model"] = {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in camera_fields_to_torch(our_final["camera"]).items()
+        }
+    path = os.path.join(expdir, f"model_{step:06d}.pth")
+    torch.save(ckpt, path)
+    return path
+
+
+def run_reference_render_from_export(datadir: str, workdir: str,
+                                     expname: str, camera: bool,
+                                     autoexpo: bool = False,
+                                     fisheye: bool = False, idx: int = 0):
+    """Have the ACTUAL reference load our exported checkpoint (its own
+    ``create_nerf`` reload glob + ``--load_test`` camera restore,
+    ``create_nerf.py:82-130``) and render train view ``idx`` exactly as
+    ``ddp_test_nerf.py:163-165`` does. Returns (rgb (H, W, 3), start)."""
+    out_npz = os.path.join(workdir, "export_render.npz")
+    flags = [
+        "--expname", expname, "--basedir", workdir,
+        "--datadir", datadir, "--scene", "scene", "--testskip", "1",
+        "--netdepth", str(MLP["depth"]), "--netwidth", str(MLP["width"]),
+        "--max_freq_log2", str(MLP["max_freq_log2"]),
+        "--max_freq_log2_viewdirs", str(MLP["max_freq_log2_viewdirs"]),
+        "--use_viewdirs",
+        "--cascade_level", str(len(CASCADE)),
+        "--cascade_samples", ",".join(str(c) for c in CASCADE),
+        "--chunk_size", "32768",
+        "--master_addr", str(_free_port()), "--normalize_factor", "1.0",
+    ]
+    if autoexpo:
+        flags += ["--optim_autoexpo", "--lambda_autoexpo", "1.0"]
+    if camera:
+        model = "fisheye" if fisheye else "pinhole_rot_noise_10k_rayo_rayd"
+        flags += ["--use_camera", "--camera_model", model,
+                  "--add_ie", "0", "--add_od", "0", "--grid_size", "10",
+                  # restore ALL camera fields incl. extrinsics from the
+                  # exported state dict (create_nerf.py:125-129).
+                  "--load_test"]
+    if fisheye:
+        flags += ["--run_fisheye", "--add_radial", "0",
+                  "--multiplicative_noise"]
+    spec = {"flags": flags, "out_npz": out_npz, "workdir": workdir,
+            "render_from_ckpt": {"split": "train", "idx": idx}}
+    spec_path = os.path.join(workdir, "export_spec.json")
+    json.dump(spec, open(spec_path, "w"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "_ref_driver_nerfpp.py"),
+         spec_path],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:] + "\n")
+        raise RuntimeError(f"reference export render failed rc={r.returncode}")
+    data = np.load(out_npz)
+    return data["rgb"], int(data["start"])
+
+
+def render_ours_final(our_final, datadir: str, model_cfg,
+                      fisheye: bool = False, idx: int = 0):
+    """Render train view ``idx`` from OUR final params through OUR renderer
+    (learned camera ``image_idx`` path — the equivalent of the reference's
+    ``camera_idx=idx`` eval, ``nerf_sample_ray_split.py:103-113``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scnerf_tpu.camera.rays import full_image_pixels, pixels_to_rays, rays_opencv
+    from scnerf_tpu.data.nerfpp_split import load_nerfpp_split
+    from scnerf_tpu.render.nerfpp_renderer import (
+        NerfPPRenderConfig,
+        render_chunked_nerfpp,
+    )
+
+    d_tr = load_nerfpp_split(os.path.join(datadir, "scene"), "train")
+    px, py = full_image_pixels(H, W)
+    cam = our_final.get("camera")
+    if cam is not None:
+        ro, rd = pixels_to_rays(cam, px, py, image_idx=idx)
+    else:
+        ro, rd = rays_opencv(jnp.asarray(d_tr.intrinsics[idx]),
+                             jnp.asarray(d_tr.poses[idx]), px, py)
+    rcfg = NerfPPRenderConfig(cascade_samples=CASCADE, perturb=False,
+                              remat_chunk=0)
+    r = render_chunked_nerfpp(our_final["levels"], model_cfg, rcfg, ro, rd,
+                              jnp.full((H * W,), 1e-4), jax.random.key(0))
+    return np.asarray(r["rgb"]).reshape(H, W, 3)
+
+
 def render_ours_from_ref(ref_final, datadir: str, model_cfg,
                          fisheye: bool = False):
     """Render the same two eval views the reference's i_img hook rendered,
@@ -586,7 +697,7 @@ def tree_max_diff(a, b) -> float:
 def main(n_steps: int = 150, out_json: str | None = None,
          workdir: str | None = None, camera: bool = False, prd: bool = False,
          autoexpo: bool = False, fisheye: bool = False,
-         render_check: bool = False):
+         render_check: bool = False, export_roundtrip: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32-exact, leaves the TPU free
@@ -677,6 +788,23 @@ def main(n_steps: int = 150, out_json: str | None = None,
         }
         print(f"[ref_parity_nerfpp] render-path max |rgb diff|: {render_diff}")
 
+    export = None
+    if export_roundtrip:
+        # Reverse direction (VERDICT item 5): export OUR trained state as a
+        # reference .pth, have the REAL reference load + render it, and
+        # compare per-pixel against our own render of the same view.
+        write_export_ckpt(
+            our_final, os.path.join(workdir, "export_parity"), n_steps,
+            img_paths=train_img_paths(datadir) if autoexpo else None)
+        ref_rgb, start = run_reference_render_from_export(
+            datadir, workdir, "export_parity", camera,
+            autoexpo=autoexpo, fisheye=fisheye, idx=0)
+        ours_rgb = render_ours_final(our_final, datadir, model_cfg,
+                                     fisheye=fisheye, idx=0)
+        export = {"ref_loaded_step": start,
+                  "max_abs_rgb_diff": float(np.abs(ours_rgb - ref_rgb).max())}
+        print(f"[ref_parity_nerfpp] export-roundtrip: {export}")
+
     report = {
         "pipeline": "nerfpp",
         "camera_model": bool(camera),
@@ -701,6 +829,8 @@ def main(n_steps: int = 150, out_json: str | None = None,
     }
     if render_diff is not None:
         report["render_path_max_abs_rgb_diff"] = render_diff
+    if export is not None:
+        report["export_roundtrip"] = export
     print(json.dumps(report, indent=2))
     if out_json:
         json.dump(report, open(out_json, "w"), indent=2)
@@ -726,6 +856,12 @@ if __name__ == "__main__":
                     help="also compare full-image EVAL renders per-pixel: "
                          "the reference's det render_single_image vs our "
                          "renderer, both from the reference's final weights")
+    ap.add_argument("--export_roundtrip", action="store_true",
+                    help="after training, export OUR final state as a "
+                         "reference model_*.pth, have the reference load "
+                         "and render it (ddp_test_nerf protocol), and "
+                         "compare per-pixel against our render")
     a = ap.parse_args()
     main(a.steps, a.out, a.workdir, camera=a.camera, prd=a.prd,
-         autoexpo=a.autoexpo, fisheye=a.fisheye, render_check=a.render_check)
+         autoexpo=a.autoexpo, fisheye=a.fisheye, render_check=a.render_check,
+         export_roundtrip=a.export_roundtrip)

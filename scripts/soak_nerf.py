@@ -98,12 +98,17 @@ def camera_errors(exp) -> dict:
     cam = exp.state.params.get("camera")
     if cam is None:
         return {}
-    learned = np.asarray(get_extrinsics(cam))
+    learned = np.asarray(get_extrinsics(cam), np.float64)
     gt = exp.gt_poses[exp.i_train]
-    _, (s, R, t) = align_c2w_trajectories(jnp.asarray(gt), jnp.asarray(learned))
-    aligned = np.asarray(apply_sim3(jnp.asarray(gt), s, R, t))
-    tr = np.einsum("nij,nij->n", aligned[:, :3, :3], learned[:, :3, :3])
-    rot_deg = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    _, (s, R, t) = align_c2w_trajectories(jnp.asarray(gt), jnp.asarray(learned, jnp.float32))
+    aligned = np.asarray(apply_sim3(jnp.asarray(gt), s, R, t), np.float64)
+    # Stable small-angle form: theta = 2 asin(||Ra - Rb||_F / (2 sqrt 2))
+    # (exact for rotations). The arccos((tr-1)/2) form floors at ~0.02 deg
+    # in f32 and snaps converged cameras to exactly 0.
+    fro = np.linalg.norm(
+        (aligned[:, :3, :3] - learned[:, :3, :3]).reshape(-1, 9), axis=-1)
+    rot_deg = np.degrees(2.0 * np.arcsin(np.clip(fro / (2.0 * np.sqrt(2.0)),
+                                                 0.0, 1.0)))
     trans = np.linalg.norm(aligned[:, :3, 3] - learned[:, :3, 3], axis=-1)
     K = np.asarray(get_intrinsic(cam))
     f_gt = float(exp.gt_intrinsic[0, 0])

@@ -25,6 +25,28 @@ class TestSSIM:
         v = float(ssim(img, noisy))
         assert 0.0 < v < 0.95
 
+    def test_near_identical_bounded_by_one(self):
+        """Regression: on a converged render vs its target (smooth blobs on
+        a flat black background) the E[x^2]-mu^2 cancellation under the
+        TPU's default bf16 conv accumulation produced negative variances
+        and per-window blowups ("SSIM" 14.7 on a 32 dB image). The metric
+        now forces HIGHEST conv precision and clamps variances, so the
+        result must stay in [-1, 1] and sit at ~1 for near-identical
+        inputs — on every backend."""
+        yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+        img = np.zeros((48, 64, 3), np.float32)
+        for cx, cy, ch in ((16, 20, 0), (40, 30, 1), (30, 12, 2)):
+            img[..., ch] += 0.8 * np.exp(
+                -((xx - cx) ** 2 + (yy - cy) ** 2) / 40.0
+            )
+        img = np.clip(img, 0.0, 1.0)
+        noisy = np.clip(
+            img + np.random.RandomState(0).randn(*img.shape).astype(np.float32)
+            * 3e-3, 0.0, 1.0)
+        v = float(ssim(jnp.asarray(img), jnp.asarray(noisy)))
+        assert -1.0 <= v <= 1.0 + 1e-5, v
+        assert v > 0.98, v
+
     def test_constant_shift(self):
         img = jnp.full((24, 24, 3), 0.5)
         shifted = jnp.full((24, 24, 3), 0.6)

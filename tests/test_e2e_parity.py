@@ -253,20 +253,28 @@ def nerfpp_parity_report(tmp_path_factory):
     from scripts.ref_parity_nerfpp import main
 
     workdir = str(tmp_path_factory.mktemp("ref_parity_nerfpp"))
-    report = main(n_steps=15, out_json=None, workdir=workdir)
+    report = main(n_steps=15, out_json=None, workdir=workdir, camera=True,
+                  export_roundtrip=True)
     shutil.rmtree(workdir, ignore_errors=True)
     return report
 
 
 class TestNerfPPParity:
-    """Suite guard for the NeRF++ harness (plain regime, full RNG replay
-    with injected uniforms)."""
+    """Suite guard for the NeRF++ harness (camera regime, full RNG replay
+    with injected uniforms) + the ours->reference export round-trip."""
 
     def test_step0_loss_matches(self, nerfpp_parity_report):
         assert nerfpp_parity_report["loss_rel_diff"]["step0"] < 1e-4
 
     def test_trajectory_tracks(self, nerfpp_parity_report):
         assert nerfpp_parity_report["loss_rel_diff"]["first10_max"] < 5e-3
+
+    def test_export_roundtrip_renders_match(self, nerfpp_parity_report):
+        """The REAL reference must load our exported model_*.pth (nets +
+        camera state dict) and render the same image we do."""
+        exp = nerfpp_parity_report["export_roundtrip"]
+        assert exp["ref_loaded_step"] == 15
+        assert exp["max_abs_rgb_diff"] < 5e-3
 
 
 @pytest.fixture(scope="module")
@@ -293,3 +301,50 @@ class TestFullNoiseParity:
 
     def test_trajectory_tracks(self, fullnoise_parity_report):
         assert fullnoise_parity_report["loss_rel_diff"]["first10_max"] < 2e-2
+
+
+@pytest.fixture(scope="module")
+def fullshape_parity_report(tmp_path_factory):
+    """FULL-compute-shape guard (round-2 VERDICT item 1): the full-noise
+    regime at the published fern shape — N_rand=1024, width-256 depth-8,
+    64+64 samples, production chunk/remat settings — for a short window
+    (the full evidence runs 80 steps via scripts/ref_parity_fullshape.py;
+    see PARITY_TRAJ_FULLSHAPE_*.json). ~6-8 min: the torch-cpu reference
+    costs ~20 s/step at this shape."""
+    if not os.path.exists(REF):
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("torch")
+    import scripts.ref_parity as rp
+    from scripts.ref_parity_fullshape import configure_fullshape
+
+    saved = {k: getattr(rp, k) for k in
+             ("H", "W", "FOCAL", "MLP", "SAMPLES",
+              "N_RAND_BATCHING", "N_RAND_FULLNOISE", "REF_TIMEOUT")}
+    workdir = str(tmp_path_factory.mktemp("ref_parity_fullshape"))
+    try:
+        configure_fullshape()
+        report = rp.main(n_steps=8, out_json=None, workdir=workdir,
+                         fullnoise=True)
+    finally:
+        for k, v in saved.items():
+            setattr(rp, k, v)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return report
+
+
+class TestFullShapeParity:
+    """The toy-shape matrix left chunking/remat boundaries and f32
+    accumulation depth unexercised where they actually operate; this
+    runs the tightest regime (full-noise, common random numbers) at the
+    real fern compute shape."""
+
+    def test_shape_is_the_published_one(self, fullshape_parity_report):
+        s = fullshape_parity_report["shape"]
+        assert s["n_rand"] == 1024 and s["mlp"]["width"] == 256
+        assert s["samples"] == {"n_samples": 64, "n_importance": 64}
+
+    def test_step0_loss_matches(self, fullshape_parity_report):
+        assert fullshape_parity_report["loss_rel_diff"]["step0"] < 1e-4
+
+    def test_trajectory_tracks(self, fullshape_parity_report):
+        assert fullshape_parity_report["loss_rel_diff"]["max"] < 2e-2

@@ -87,6 +87,32 @@ def tiny_setup(use_viewdirs=True, n_importance=8):
 
 
 class TestRenderer:
+    def test_remat_stash_bf16_close_and_differentiable(self):
+        """``remat_stash_bf16`` (the HBM A/B lever) must keep outputs close
+        to the f32 stash — the bf16 quantization only touches the sample
+        COORDINATES at the checkpoint boundary — and grads finite."""
+        model_cfg, render_cfg, params = tiny_setup()
+        # remat active: n_samples divisible by chunk, chunk < S
+        render_cfg = render_cfg.replace(perturb=False, remat_chunk=4)
+        key = jax.random.key(5)
+        rays_o = jax.random.normal(key, (16, 3)) * 0.1
+        rays_d = jax.random.normal(jax.random.fold_in(key, 1), (16, 3))
+        vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        ref = render_rays(params, model_cfg, render_cfg, rays_o, rays_d, vd,
+                          2.0, 6.0, key)
+        cfg_b = render_cfg.replace(remat_stash_bf16=True)
+        out = render_rays(params, model_cfg, cfg_b, rays_o, rays_d, vd,
+                          2.0, 6.0, key)
+        np.testing.assert_allclose(np.asarray(out["rgb"]),
+                                   np.asarray(ref["rgb"]), atol=0.05)
+
+        def loss(p):
+            o = render_rays(p, model_cfg, cfg_b, rays_o, rays_d, vd, 2.0, 6.0, key)
+            return jnp.mean(o["rgb"] ** 2)
+
+        g = jax.grad(loss)(params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
     def test_shapes_and_finite(self):
         model_cfg, render_cfg, params = tiny_setup()
         key = jax.random.key(2)
