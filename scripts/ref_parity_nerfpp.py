@@ -534,6 +534,12 @@ def write_export_ckpt(our_final, expdir: str, step: int,
     )
 
     os.makedirs(expdir, exist_ok=True)
+    if img_paths is not None:
+        # Autoexpo checkpoints need the trainer's image-path list next to
+        # them: create_nerf reads expdir/train_images.json to rebuild the
+        # name-keyed ParameterDict (create_nerf.py:46-50).
+        json.dump(img_paths, open(os.path.join(expdir, "train_images.json"),
+                                  "w"))
     ckpt = {"optim": {"state": {}}}
     for m, lvl in enumerate(our_final["levels"]):
         ckpt[f"net_{m}"] = {
