@@ -102,11 +102,15 @@ def camera_errors(exp) -> dict:
     gt = exp.gt_poses[exp.i_train]
     _, (s, R, t) = align_c2w_trajectories(jnp.asarray(gt), jnp.asarray(learned, jnp.float32))
     aligned = np.asarray(apply_sim3(jnp.asarray(gt), s, R, t), np.float64)
-    # Stable small-angle form: theta = 2 asin(||Ra - Rb||_F / (2 sqrt 2))
-    # (exact for rotations). The arccos((tr-1)/2) form floors at ~0.02 deg
-    # in f32 and snaps converged cameras to exactly 0.
-    fro = np.linalg.norm(
-        (aligned[:, :3, :3] - learned[:, :3, :3]).reshape(-1, 9), axis=-1)
+    # The Sim(3) scale rides the aligned rotation blocks (apply_sim3 maps
+    # R -> s R); de-scale by det^(1/3) so the angle is pure rotation —
+    # otherwise s>1 pushes the arccos trace above 3 (clips to exactly 0)
+    # and s!=1 inflates the Frobenius angle. Then the stable small-angle
+    # form: theta = 2 asin(||Ra - Rb||_F / (2 sqrt 2)), exact for
+    # rotations (the arccos form floors at ~0.02 deg in f32).
+    Ra = aligned[:, :3, :3]
+    Ra = Ra / np.cbrt(np.linalg.det(Ra))[:, None, None]
+    fro = np.linalg.norm((Ra - learned[:, :3, :3]).reshape(-1, 9), axis=-1)
     rot_deg = np.degrees(2.0 * np.arcsin(np.clip(fro / (2.0 * np.sqrt(2.0)),
                                                  0.0, 1.0)))
     trans = np.linalg.norm(aligned[:, :3, 3] - learned[:, :3, 3], axis=-1)
