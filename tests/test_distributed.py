@@ -6,6 +6,8 @@ training step on 8 virtual devices and checks numerical equivalence with the
 single-device step — including the camera gradients the reference silently
 let diverge per-rank (SURVEY.md section 3.5).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -268,3 +270,32 @@ class TestPixelPoolSharded:
                         jax.tree.leaves(out_state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5)
+
+
+@pytest.mark.slow
+class TestMultiHost:
+    """TRUE multi-process evidence: two OS processes x 4 virtual devices,
+    joined by jax.distributed into one 8-device global mesh (gloo carries
+    the cross-process collectives — the CPU stand-in for a pod's DCN).
+    Reference analogue: ``ddp_train_nerf.py:296-302`` (gloo init) +
+    ``:603-617`` (rank-0 checkpoint gate)."""
+
+    def test_two_process_training_matches_single(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        out = tmp_path / "MULTIHOST_SMOKE.json"
+        script = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "multihost_smoke.py")
+        r = subprocess.run(
+            [sys.executable, script, "--steps", "12", "--port", "29631",
+             "--out", str(out)],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+        rep = json.load(open(out))
+        assert rep["ok"], rep
+        assert rep["topology"]["process_count"] == 2
+        assert rep["topology"]["global_devices"] == 8
+        assert rep["max_rel_loss_diff"] < 1e-4
