@@ -11,6 +11,12 @@ its only numerics guards are ``set_detect_anomaly`` and a NaN print scan).
   global import side effect).
 - :func:`check_finite_tree` — host-side NaN/Inf scan over a pytree
   (replaces ``render.py:296-298``) returning offending leaf names.
+- :func:`hlo_stats_rows` / :func:`roofline_summary` — parse an xprof
+  ``hlo_stats`` table out of a captured trace and integrate measured
+  FLOPs / HBM bytes / bound-by attribution over op SELF time. Unlike
+  ``compiled.cost_analysis()`` (which counts a ``lax.scan`` body ONCE),
+  this counts every scan trip and remat recompute — it is the ground
+  truth the r3 profile used to overturn the "HBM-bound" conclusion.
 """
 from __future__ import annotations
 
@@ -95,3 +101,97 @@ def check_finite_tree(tree, prefix: str = "") -> list[str]:
 
     jax.tree_util.tree_map_with_path(visit, tree)
     return bad
+
+
+def hlo_stats_rows(logdir: str):
+    """Parse the newest ``*.xplane.pb`` under ``logdir`` into the xprof
+    ``hlo_stats`` table. Returns ``(cols, rows)`` where ``cols`` is the
+    column-label list and ``rows`` is a list of value lists; returns
+    ``(None, None)`` when no trace or no xprof converter is available."""
+    import glob
+    import json as _json
+    import os
+
+    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                             recursive=True))
+    if not paths:
+        return None, None
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+
+        data, _ = rtd.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+    except Exception:
+        return None, None
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", "replace")
+    try:
+        tbl = _json.loads(data)
+    except Exception:
+        return None, None
+    if not (isinstance(tbl, dict) and "rows" in tbl):
+        return None, None
+    cols = [c.get("label") or c.get("id") for c in tbl["cols"]]
+    rows = [[(cell or {}).get("v") for cell in r["c"]] for r in tbl["rows"]]
+    return cols, rows
+
+
+def roofline_summary(cols, rows, n_steps: int) -> dict:
+    """Measured per-step roofline numbers from an ``hlo_stats`` table.
+
+    Integrates each op's model-FLOP rate and HBM bandwidth over its
+    SELF time (a ``while`` op's total time includes its body, whose
+    fusions are separate rows — self time avoids double counting), and
+    buckets self time by xprof's per-op "Bound by" verdict."""
+
+    def find(*cands):
+        for cand in cands:
+            for i, c in enumerate(cols):
+                if c and cand in c.lower():
+                    return i
+        return None
+
+    i_time = find("total self time (us)", "total time (us)")
+    if i_time is None:
+        return {}
+    i_bound = find("bound by")
+    i_gflops = find("model gflop/s")
+    i_hbm = find("hbm bw")
+    total_us = sum(float(r[i_time] or 0) for r in rows)
+    out = {"device_us_per_step": total_us / n_steps}
+    if i_bound is not None and total_us > 0:
+        by_bound: dict = {}
+        for r in rows:
+            b = str(r[i_bound] or "?")
+            by_bound[b] = by_bound.get(b, 0.0) + float(r[i_time] or 0)
+        out["bound_by_pct"] = {
+            b: round(100.0 * t / total_us, 1)
+            for b, t in sorted(by_bound.items(), key=lambda kv: -kv[1])
+        }
+    if i_gflops is not None:
+        flops = sum(float(r[i_gflops] or 0) * 1e9 * float(r[i_time] or 0) * 1e-6
+                    for r in rows)
+        out["measured_flops_per_step"] = flops / n_steps
+    if i_hbm is not None:
+        byts = sum(float(r[i_hbm] or 0) * (1 << 30) * float(r[i_time] or 0) * 1e-6
+                   for r in rows)
+        out["measured_hbm_bytes_per_step"] = byts / n_steps
+    return out
+
+
+def measure_roofline(run_steps, n_steps: int = 10, logdir: str | None = None) -> dict:
+    """Capture a trace of ``run_steps(n_steps)`` and return
+    :func:`roofline_summary` numbers (empty dict if tracing/parsing is
+    unavailable — callers treat the measurement as best-effort)."""
+    import tempfile
+
+    ctx = contextlib.nullcontext(logdir) if logdir else tempfile.TemporaryDirectory()
+    with ctx as d:
+        try:
+            with trace(d):
+                run_steps(n_steps)
+        except Exception:
+            return {}
+        cols, rows = hlo_stats_rows(d)
+    if cols is None:
+        return {}
+    return roofline_summary(cols, rows, n_steps)
