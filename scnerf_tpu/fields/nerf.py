@@ -134,16 +134,22 @@ def query_field_chunked(params, cfg: NeRFConfig, pts, viewdirs, chunk: int,
         return query_field(params, cfg, pts, viewdirs)
     n_chunks = S // chunk
     chunks = pts.reshape(N, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+    # prevent_cse=False: the checkpointed body only ever runs inside the
+    # lax.scan below, where CSE across the remat boundary cannot happen
+    # anyway (jax docs); lifting the restriction frees XLA's scheduler —
+    # measured +3% on the fern step (scripts/ab_step_levers.py).
     if stash_bf16:
         chunks = chunks.astype(jnp.bfloat16)
         vds = viewdirs.astype(jnp.bfloat16) if viewdirs is not None else None
         qf = jax.checkpoint(
             lambda p, x, v: query_field(
                 p, cfg, x.astype(jnp.float32),
-                v.astype(jnp.float32) if v is not None else None))
+                v.astype(jnp.float32) if v is not None else None),
+            prevent_cse=False)
     else:
         vds = viewdirs
-        qf = jax.checkpoint(lambda p, x, v: query_field(p, cfg, x, v))
+        qf = jax.checkpoint(lambda p, x, v: query_field(p, cfg, x, v),
+                            prevent_cse=False)
 
     def body(_, pts_c):
         return None, qf(params, pts_c, vds)

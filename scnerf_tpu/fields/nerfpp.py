@@ -136,7 +136,9 @@ def query_mlpnet_chunked(params, cfg: NerfPPConfig, pts, views_enc,
     n_chunks = S // chunk
     lead = pts.shape[:-2]
     pts_c = jnp.moveaxis(pts.reshape(*lead, n_chunks, chunk, pts.shape[-1]), -3, 0)
-    apply_fn = jax.checkpoint(apply_raw)
+    # prevent_cse=False is safe (body only runs inside the scan below) and
+    # measured +3% on the NeRF step — see query_field_chunked.
+    apply_fn = jax.checkpoint(apply_raw, prevent_cse=False)
 
     def body(_, xs):
         return None, apply_fn(params, xs, views_enc)

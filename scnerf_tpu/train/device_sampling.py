@@ -70,23 +70,44 @@ def sample_batch_on_device(
 
 def make_device_sampling_step(base_step, images, n_rand: int,
                               precrop_frac: float | None = None,
-                              single_image: bool = True):
+                              single_image: bool = True,
+                              steps_per_call: int = 1):
     """Wrap a compiled train step with on-device batch sampling.
 
     ``base_step`` is a (state, batch, key) -> (state, metrics) function from
     ``make_train_step`` (built with ``donate=False`` recommended when the
     wrapper is jitted with donation here). Returns ``step(state, key)``.
+
+    With ``steps_per_call=K > 1`` the returned function is
+    ``step(state, key, it0)`` — it advances K steps in ONE dispatch via
+    ``lax.scan``, deriving the per-step key as ``fold_in(key, it0 + i)``
+    (the exact stream the host loop uses), so trajectories are
+    bit-identical to K calls of the K=1 wrapper. Metrics come back stacked
+    ``(K,)``. This amortizes the per-dispatch host gap (measured ~0.7 ms
+    against a ~9 ms fern step — see docs/perf_nerf.md).
     """
     images = jnp.asarray(images)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state, key):
+    def one(state, key):
         k_sample, k_step = jax.random.split(key)
         batch = sample_batch_on_device(
             images, k_sample, n_rand,
             precrop_frac=precrop_frac, single_image=single_image,
         )
         return base_step(state, batch, k_step)
+
+    if steps_per_call <= 1:
+        return jax.jit(one, donate_argnums=(0,))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, key, it0):
+        its = jnp.asarray(it0, jnp.uint32) + jnp.arange(steps_per_call,
+                                                        dtype=jnp.uint32)
+
+        def body(s, it):
+            return one(s, jax.random.fold_in(key, it))
+
+        return jax.lax.scan(body, state, its)
 
     return step
 

@@ -169,6 +169,32 @@ class TestDeviceSampling:
         assert float(b["px"].min()) >= 15 and float(b["px"].max()) < 45
         assert float(b["py"].min()) >= 10 and float(b["py"].max()) < 30
 
+    def test_multistep_matches_single_step_trajectory(self):
+        """steps_per_call=K is a pure dispatch-batching change: the fused
+        scan must reproduce the K=1 wrapper's trajectory bit-for-bit (the
+        per-step key is fold_in(key, it), same as the host loop)."""
+        from scnerf_tpu.train.device_sampling import make_device_sampling_step
+
+        state1, base_step, _ = build()
+        state3, _, _ = build()
+        cam, px, py, target = synthetic_scene()
+        images = jnp.asarray(np.asarray(target).reshape(1, 16, 16, 3))
+        step1 = make_device_sampling_step(base_step, images, n_rand=64)
+        step3 = make_device_sampling_step(base_step, images, n_rand=64,
+                                          steps_per_call=3)
+        key = jax.random.key(5)
+        for i in range(6):
+            state1, m1 = step1(state1, jax.random.fold_in(key, i))
+        state3, ms = step3(state3, key, 0)
+        state3, ms = step3(state3, key, 3)
+        assert ms["loss"].shape == (3,)
+        assert float(ms["loss"][-1]) == float(m1["loss"])
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            state1.params, state3.params,
+        )
+        assert int(state3.step) == 6
+
     def test_wrapped_step_trains(self):
         from scnerf_tpu.train.device_sampling import make_device_sampling_step
 
