@@ -140,6 +140,14 @@ class CameraFlags:
     pairing_angle_threshold: float = 30.0
     matcher: str = "precomputed"  # precomputed | sift | superglue
     match_num: int = 1024
+    # SuperGlue knobs (reference flag surface, config_argparse.py:131-158;
+    # consumed by matching/superglue_hf.py when matcher == "superglue").
+    superglue_weight: str = "outdoor"  # outdoor | indoor
+    max_keypoints: int = 1024
+    nms_radius: int = 4
+    sinkhorn_iterations: int = 20
+    match_threshold: float = 0.2
+    keypoint_threshold: float = 0.005
 
     @property
     def use_camera(self) -> bool:

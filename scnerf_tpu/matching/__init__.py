@@ -3,3 +3,6 @@ from scnerf_tpu.matching.provider import (
     PairMatches, PrecomputedMatches, SIFTMatcher, SuperGlueMatcher,
     build_match_cache, pad_matches, sift_available,
 )
+from scnerf_tpu.matching.superglue_hf import (
+    HFSuperGlueMatcher, hf_superglue_available,
+)

@@ -14,6 +14,12 @@ Providers:
   when ``cv2`` is available.
 - :class:`SuperGlueMatcher` — optional torch SuperGlue (the reference's
   ``thirdparty/superglue`` submodule) run offline; gated on availability.
+- :class:`~scnerf_tpu.matching.superglue_hf.HFSuperGlueMatcher` — the
+  ``transformers`` SuperPoint+SuperGlue port (model code ships in this
+  image; pretrained weights load offline-only when present).
+
+:func:`matcher_from_config` picks among them from the config's ``matcher``
+key, falling back to the precomputed cache when unavailable.
 
 All return matches in the common padded form via :func:`pad_matches`.
 """
@@ -152,6 +158,41 @@ class SIFTMatcher:
             np.asarray(kps1, np.float32).reshape(-1, 2),
             np.asarray(conf, np.float32),
         )
+
+
+def matcher_from_config(cam_cfg):
+    """Select the configured live matcher (the reference picks SuperGlue or
+    SIFT at startup, ``run_nerf.py:87-90``). ``cam_cfg`` is a
+    ``CameraFlags``-shaped object (``matcher`` + the superglue knobs).
+    Returns None when the requested matcher is unavailable in this
+    environment (caller falls back to the precomputed-cache provider)."""
+    if cam_cfg.matcher == "superglue":
+        from scnerf_tpu.matching.superglue_hf import (
+            HFSuperGlueMatcher,
+            hf_superglue_available,
+        )
+
+        if hf_superglue_available(cam_cfg.superglue_weight):
+            return HFSuperGlueMatcher(
+                weights=cam_cfg.superglue_weight,
+                nms_radius=cam_cfg.nms_radius,
+                keypoint_threshold=cam_cfg.keypoint_threshold,
+                max_keypoints=cam_cfg.max_keypoints,
+                sinkhorn_iterations=cam_cfg.sinkhorn_iterations,
+                match_threshold=cam_cfg.match_threshold,
+            )
+        try:  # the reference's thirdparty submodule, if someone vendored it
+            return SuperGlueMatcher(weights=cam_cfg.superglue_weight)
+        except Exception:
+            from warnings import warn
+
+            warn("[matching] matcher=superglue but no local SuperGlue "
+                 "weights (HF cache or thirdparty submodule); falling back "
+                 "to the precomputed-match cache")
+            return None
+    if cam_cfg.matcher == "sift" and sift_available():
+        return SIFTMatcher()
+    return None
 
 
 def sift_available() -> bool:

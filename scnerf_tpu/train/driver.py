@@ -39,6 +39,7 @@ from scnerf_tpu.matching.provider import (
     PrecomputedMatches,
     SIFTMatcher,
     build_match_cache,
+    matcher_from_config,
     pad_matches,
     sift_available,
 )
@@ -260,9 +261,11 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         cache_path = os.path.join(expdir, "matches.npz") if expdir else None
         if cache_path and os.path.exists(cache_path):
             match_cache = PrecomputedMatches(cache_path)
-        elif cfg.camera.matcher == "sift" and sift_available() and len(pair_list):
-            match_cache = build_match_cache(
-                images[i_train], pair_list, SIFTMatcher(), cache_path
+        elif len(pair_list):
+            m = matcher_from_config(cfg.camera)  # sift / superglue / None
+            match_cache = (
+                build_match_cache(images[i_train], pair_list, m, cache_path)
+                if m is not None else PrecomputedMatches(cache_path)
             )
         else:
             match_cache = PrecomputedMatches(cache_path)

@@ -28,6 +28,7 @@ from scnerf_tpu.matching.provider import (
     PrecomputedMatches,
     SIFTMatcher,
     build_match_cache,
+    matcher_from_config,
     pad_matches,
     sift_available,
 )
@@ -167,8 +168,12 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
         cache_path = os.path.join(expdir, "matches.npz") if expdir else None
         if cache_path and os.path.exists(cache_path):
             match_cache = PrecomputedMatches(cache_path)
-        elif cfg.camera.matcher == "sift" and sift_available() and train.images is not None:
-            match_cache = build_match_cache(train.images, pair_list, SIFTMatcher(), cache_path)
+        elif train.images is not None:
+            m = matcher_from_config(cfg.camera)  # sift / superglue / None
+            match_cache = (
+                build_match_cache(train.images, pair_list, m, cache_path)
+                if m is not None else PrecomputedMatches(cache_path)
+            )
         else:
             match_cache = PrecomputedMatches(cache_path)
 

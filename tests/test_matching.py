@@ -102,3 +102,64 @@ class TestSuperGlueMock:
 
         with pytest.raises(ImportError):
             SuperGlueMatcher()
+
+
+class TestHFSuperGlue:
+    """The transformers SuperGlue port runs the REAL SuperPoint+SuperGlue
+    architecture here (no weights in this image, so a tiny random-init
+    config exercises the full code path; the pretrained branch activates
+    automatically the day weights land in the local HF cache)."""
+
+    def test_random_init_plumbing(self):
+        torch = pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+        from scnerf_tpu.matching.provider import pad_matches
+        from scnerf_tpu.matching.superglue_hf import (
+            HFSuperGlueMatcher,
+            tiny_superglue_config,
+        )
+
+        torch.manual_seed(0)
+        m = HFSuperGlueMatcher(config=tiny_superglue_config(),
+                               match_threshold=0.0)
+        rng = np.random.RandomState(1)
+        base = rng.rand(96, 128, 3)
+        res = m.match(base, np.roll(base, 4, axis=1))
+        assert res.kps0.shape == res.kps1.shape and res.kps0.shape[1] == 2
+        assert res.confidence.shape == (res.kps0.shape[0],)
+        # keypoints are in original pixel coordinates
+        if res.kps0.shape[0]:
+            assert res.kps0[:, 0].max() < 128 and res.kps0[:, 1].max() < 96
+        k0, k1, mask = pad_matches(res, 32)
+        assert k0.shape == (32, 2) and mask.dtype == bool
+
+    def test_matcher_from_config_selection(self):
+        pytest.importorskip("transformers")
+        from scnerf_tpu.core.config import CameraFlags as CameraConfig
+        from scnerf_tpu.matching.provider import matcher_from_config
+        from scnerf_tpu.matching.superglue_hf import hf_superglue_available
+
+        cam = CameraConfig(matcher="superglue")
+        if hf_superglue_available(cam.superglue_weight):
+            # Weights landed: the standing round-2 item — run one REAL
+            # SuperGlue pass through the provider path.
+            m = matcher_from_config(cam)
+            rng = np.random.RandomState(2)
+            base = rng.rand(96, 128, 3)
+            res = m.match(base, np.roll(base, 4, axis=1))
+            assert res.kps0.shape[0] > 4
+            dx = np.median(res.kps1[:, 0] - res.kps0[:, 0])
+            assert abs(dx - 4.0) < 2.0, dx
+        else:
+            with pytest.warns(UserWarning):
+                assert matcher_from_config(cam) is None
+
+    def test_sift_selection_unchanged(self):
+        if not sift_available():
+            pytest.skip("cv2 SIFT unavailable")
+        from scnerf_tpu.core.config import CameraFlags as CameraConfig
+        from scnerf_tpu.matching.provider import matcher_from_config
+
+        assert isinstance(matcher_from_config(CameraConfig(matcher="sift")),
+                          SIFTMatcher)
+        assert matcher_from_config(CameraConfig(matcher="precomputed")) is None
