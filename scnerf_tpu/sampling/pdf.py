@@ -16,6 +16,24 @@ import jax.numpy as jnp
 from scnerf_tpu.sampling.searchsorted import searchsorted
 
 
+def take_along_last(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable gather along the last axis via one-hot contraction.
+
+    On TPU, XLA lowers ``jnp.take_along_axis(x, idx, axis=-1)`` here to a
+    per-element scalar-memory gather (and its VJP to a scatter-add):
+    measured ~1.6 ms per (2048, 64)-from-(2048, 63) gather — the four
+    gathers plus their backward scatters were 33% of the whole NeRF++
+    train step (xprof trace, ``scripts/profile_step.py --workload
+    nerfpp``). The one-hot contraction is dense compare+multiply+reduce
+    (VPU/MXU-friendly, like the compare-and-sum searchsorted), and its
+    VJP is the transposed contraction. Exact: one unit weight per row,
+    zeros elsewhere, so the sum reproduces the gathered value bit-for-bit
+    (for finite ``x``).
+    """
+    onehot = (idx[..., None] == jnp.arange(x.shape[-1])).astype(x.dtype)
+    return jnp.einsum("...sb,...b->...s", onehot, x)
+
+
 def sample_pdf(
     key,
     bins: jnp.ndarray,
@@ -72,10 +90,10 @@ def sample_pdf(
         below = jnp.maximum(inds - 1, 0)
         above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    cdf_below = take_along_last(cdf, below)
+    cdf_above = take_along_last(cdf, above)
+    bins_below = take_along_last(bins, below)
+    bins_above = take_along_last(bins, above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
