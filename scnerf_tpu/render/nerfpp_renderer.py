@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from scnerf_tpu.core.pytree import pytree_dataclass, static_field
 from scnerf_tpu.fields.nerfpp import NerfPPConfig, nerfpp_forward
 from scnerf_tpu.geometry.sphere import intersect_sphere
-from scnerf_tpu.sampling.pdf import sample_pdf
+from scnerf_tpu.sampling.pdf import sample_pdf, sort_last_differentiable
 from scnerf_tpu.sampling.stratified import perturb_z_vals
 
 
@@ -91,12 +91,14 @@ def render_rays_nerfpp(
             fg_w = jax.lax.stop_gradient(ret["fg_weights"])[..., 1:-1]
             fg_mid = 0.5 * (fg_depth[..., 1:] + fg_depth[..., :-1])
             fg_new = _pdf(k_fg, fg_mid, fg_w, n_samp, not render_cfg.perturb, r_fg)
-            fg_depth = jnp.sort(jnp.concatenate([fg_depth, fg_new], axis=-1), axis=-1)
+            fg_depth = sort_last_differentiable(
+                jnp.concatenate([fg_depth, fg_new], axis=-1))
 
             bg_w = jax.lax.stop_gradient(ret["bg_weights"])[..., 1:-1]
             bg_mid = 0.5 * (bg_depth[..., 1:] + bg_depth[..., :-1])
             bg_new = _pdf(k_bg, bg_mid, bg_w, n_samp, not render_cfg.perturb, r_bg)
-            bg_depth = jnp.sort(jnp.concatenate([bg_depth, bg_new], axis=-1), axis=-1)
+            bg_depth = sort_last_differentiable(
+                jnp.concatenate([bg_depth, bg_new], axis=-1))
 
         ret = nerfpp_forward(
             level_params[m], model_cfg, ray_o, ray_d, fg_far, fg_depth, bg_depth,

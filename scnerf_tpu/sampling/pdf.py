@@ -34,6 +34,19 @@ def take_along_last(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...sb,...b->...s", onehot, x)
 
 
+def sort_last_differentiable(x: jnp.ndarray) -> jnp.ndarray:
+    """Ascending sort along the last axis with a dense-contraction VJP.
+
+    ``jnp.sort``'s backward is an XLA scatter that un-permutes the
+    cotangent — measured 2.3 ms/step for the NeRF++ cascade's
+    (2048, 128) depth merge (xprof trace). ``argsort`` (integers, no
+    gradient) + :func:`take_along_last` produces identical forward values
+    (both sorts are stable, so ties break the same way) while the
+    backward becomes the transposed one-hot contraction.
+    """
+    return take_along_last(x, jnp.argsort(x, axis=-1))
+
+
 def sample_pdf(
     key,
     bins: jnp.ndarray,
