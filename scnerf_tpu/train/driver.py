@@ -433,7 +433,10 @@ def train_loop(
                     exp.state, batch, jax.random.fold_in(key, it)
                 )
 
-        step_now = int(exp.state.step)
+        # it+1 == int(state.step) without the per-step device round-trip
+        # (the blocking read capped the loop at the tunnel RTT — see the
+        # NeRF++ driver's matching comment).
+        step_now = it + 1
         if exp.logger and step_now % cfg.logging.i_print == 0:
             row = dict(metrics)
             row.update(timer.summary())
