@@ -272,5 +272,9 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from _watchdog import supervise
+
+        supervise()  # axon wedge guard: respawn until "[preflight]" appears
     main(a.steps, a.out, a.workdir, small=a.small, eval_every=a.eval_every,
          psnr_gate=a.psnr_gate)

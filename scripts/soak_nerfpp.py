@@ -233,5 +233,9 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from _watchdog import supervise
+
+        supervise()  # axon wedge guard: respawn until "[preflight]" appears
     main(a.steps, a.out, a.workdir, fisheye=a.fisheye,
          eval_every=a.eval_every, psnr_gate=a.psnr_gate)

@@ -271,3 +271,50 @@ class TestImageLogging:
         files = sorted((tmp_path / "images").iterdir())
         assert [f.name for f in files] == ["camera_ray_o_noise_00000700.png"]
         lg.close()
+
+
+class TestAxonWatchdog:
+    """scripts/_watchdog.py: the wedge-retry supervisor for TPU soaks."""
+
+    def test_retries_then_succeeds(self, tmp_path):
+        import subprocess, sys, textwrap
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        script = tmp_path / "fake_soak.py"
+        script.write_text(textwrap.dedent(f"""
+            import os, sys, time
+            sys.path.insert(0, {repr(os.path.join(repo, 'scripts'))})
+            from _watchdog import supervise
+            supervise(attempts=3, grace_s=10.0, cooldown_s=0.1)
+            # child: wedge on the first attempt, preflight on later ones
+            marker = {repr(str(tmp_path / 'attempt'))}
+            n = int(open(marker).read()) if os.path.exists(marker) else 0
+            open(marker, "w").write(str(n + 1))
+            if n == 0:
+                time.sleep(120)  # simulated axon session wedge (no output)
+            print("[preflight] ok")
+            print("work done")
+        """))
+        r = subprocess.run([sys.executable, str(script)], capture_output=True,
+                           text=True, timeout=60)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "wedge; killing and retrying" in r.stdout
+        assert "work done" in r.stdout
+        assert (tmp_path / "attempt").read_text() == "2"
+
+    def test_propagates_child_failure(self, tmp_path):
+        import subprocess, sys, textwrap
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        script = tmp_path / "fail_soak.py"
+        script.write_text(textwrap.dedent(f"""
+            import sys
+            sys.path.insert(0, {repr(os.path.join(repo, 'scripts'))})
+            from _watchdog import supervise
+            supervise(attempts=2, grace_s=5.0, cooldown_s=0.1)
+            print("[preflight] ok")
+            sys.exit(7)
+        """))
+        r = subprocess.run([sys.executable, str(script)], capture_output=True,
+                           text=True, timeout=60)
+        assert r.returncode == 7
