@@ -32,9 +32,14 @@ def supervise(attempts: int = 6, grace_s: float = 150.0,
               cooldown_s: float = 20.0) -> None:
     """No-op in the child (``WATCHDOG_INNER=1``); in the parent, run the
     current script under a preflight watchdog and ``sys.exit`` with the
-    child's final return code."""
+    child's final return code. ``WATCHDOG_ATTEMPTS`` / ``WATCHDOG_GRACE_S``
+    env vars override the defaults (wedge phases have lasted 40+ min —
+    a long unattended run may want a bigger budget than 6x170s)."""
     if os.environ.get("WATCHDOG_INNER"):
         return
+    attempts = int(os.environ.get("WATCHDOG_ATTEMPTS", attempts))
+    grace_s = float(os.environ.get("WATCHDOG_GRACE_S", grace_s))
+    cooldown_s = float(os.environ.get("WATCHDOG_COOLDOWN_S", cooldown_s))
     env = dict(os.environ, WATCHDOG_INNER="1")
     for attempt in range(1, attempts + 1):
         proc = subprocess.Popen(
