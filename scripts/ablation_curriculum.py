@@ -128,8 +128,12 @@ def classical_baselines(matches_npz: str, K_gt, K_noisy) -> dict:
     out = {"initial_focal_rel_err":
            float(abs(0.5 * (x0[0] + x0[1]) - f_gt) / f_gt)}
     for name, p in est.items():
-        out[name + "_focal_rel_err"] = (
-            None if p is None else float(abs(0.5 * (p[0] + p[1]) - f_gt) / f_gt))
+        if p is None:
+            out[name + "_focal_rel_err"] = None
+            continue
+        p = np.asarray(p, np.float64).reshape(-1)  # daq may return (5,1)
+        out[name + "_focal_rel_err"] = float(
+            abs(0.5 * (p[0] + p[1]) - f_gt) / f_gt)
     return out
 
 
