@@ -93,3 +93,56 @@ class TestSamplePdf:
         s = np.asarray(sample_pdf(None, bins, weights, 5, det=True))[0]
         # u = 0, .25, .5, .75, 1 -> depths 0, ~1, ~2, ~2.5, 3
         np.testing.assert_allclose(s, [0.0, 1.0, 2.0, 2.5, 3.0], atol=2e-3)
+
+
+class TestOneHotGatherHelpers:
+    """The r3c TPU-perf rewrites (``sampling/pdf.py:take_along_last``,
+    ``sort_last_differentiable``) must be EXACT drop-ins for
+    ``jnp.take_along_axis`` / ``jnp.sort`` in both forward values and
+    VJPs — every parity artifact depends on that equivalence."""
+
+    def test_take_along_last_forward_matches_take_along_axis(self):
+        from scnerf_tpu.sampling.pdf import take_along_last
+
+        key = jax.random.key(11)
+        x = jax.random.normal(key, (8, 63))
+        idx = jax.random.randint(jax.random.fold_in(key, 1), (8, 64), 0, 63)
+        ref = jnp.take_along_axis(x, idx, axis=-1)
+        np.testing.assert_array_equal(np.asarray(take_along_last(x, idx)),
+                                      np.asarray(ref))
+
+    def test_take_along_last_vjp_matches_take_along_axis(self):
+        from scnerf_tpu.sampling.pdf import take_along_last
+
+        key = jax.random.key(12)
+        x = jax.random.normal(key, (4, 17))
+        idx = jax.random.randint(jax.random.fold_in(key, 1), (4, 9), 0, 17)
+        ct = jax.random.normal(jax.random.fold_in(key, 2), (4, 9))
+
+        g_ours = jax.grad(lambda x: jnp.sum(take_along_last(x, idx) * ct))(x)
+        g_ref = jax.grad(
+            lambda x: jnp.sum(jnp.take_along_axis(x, idx, axis=-1) * ct))(x)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   atol=1e-6)
+
+    def test_sort_last_differentiable_forward_matches_sort_with_ties(self):
+        from scnerf_tpu.sampling.pdf import sort_last_differentiable
+
+        key = jax.random.key(13)
+        # quantize to force ties: stable argsort must break them like sort
+        x = jnp.round(jax.random.uniform(key, (16, 40)) * 8.0) / 8.0
+        np.testing.assert_array_equal(
+            np.asarray(sort_last_differentiable(x)),
+            np.asarray(jnp.sort(x, axis=-1)))
+
+    def test_sort_last_differentiable_vjp_matches_sort(self):
+        from scnerf_tpu.sampling.pdf import sort_last_differentiable
+
+        key = jax.random.key(14)
+        x = jax.random.normal(key, (6, 23))  # distinct values: unique perm
+        ct = jax.random.normal(jax.random.fold_in(key, 1), (6, 23))
+        g_ours = jax.grad(
+            lambda x: jnp.sum(sort_last_differentiable(x) * ct))(x)
+        g_ref = jax.grad(lambda x: jnp.sum(jnp.sort(x, axis=-1) * ct))(x)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   atol=1e-6)
