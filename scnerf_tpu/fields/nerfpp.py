@@ -33,6 +33,12 @@ class NerfPPConfig:
     max_freq_log2: int = static_field(default=10)  # N_freqs for positions
     max_freq_log2_viewdirs: int = static_field(default=4)
     compute_dtype: str = static_field(default="float32")
+    # Run the fg and bg MLPs as ONE batched remat scan per cascade level
+    # (halves the scan trip count; the per-trip matmuls become 2-batched).
+    # Numerically equivalent to the sequential path up to f32 reassociation
+    # — the fg net is embedded in the bg's 4-D encoding layout with zero
+    # rows/masked features (see stack_fgbg_params).
+    fuse_fgbg: bool = static_field(default=False)
 
     def pos_encoding(self, input_dim: int) -> EncodingConfig:
         return EncodingConfig(input_dim=input_dim, n_freqs=self.max_freq_log2)
@@ -149,6 +155,123 @@ def query_mlpnet_chunked(params, cfg: NerfPPConfig, pts, views_enc,
     return rgb, sigma
 
 
+def _fg_feature_index(cfg: NerfPPConfig):
+    """Positions of the fg net's 3-D PE features inside the 4-D PE layout.
+
+    ``positional_encoding`` emits per-block features — ``[x (D), sin(f0 x)
+    (D), cos(f0 x) (D), sin(f1 x) (D), ...]`` — so the 3-D encoding is a
+    fixed subset of the 4-D one: block ``b`` feature ``d`` lives at
+    ``b*4 + d``. Returns an int array of length ``pos_encoding(3).out_dim``.
+    """
+    import numpy as np
+
+    d3 = cfg.pos_encoding(3).out_dim
+    n_blocks = d3 // 3
+    assert cfg.pos_encoding(4).out_dim == n_blocks * 4
+    return np.asarray([b * 4 + d for b in range(n_blocks) for d in range(3)])
+
+
+def stack_fgbg_params(params, cfg: NerfPPConfig):
+    """Stack the fg and bg MLPNet params into one tree with leading axis 2.
+
+    The fg net's input-consuming weight rows (layer 0 and the post-skip
+    layers) are scattered into the 4-D encoding layout with zero rows at
+    the 4th-dim feature positions; together with :func:`_fg_feature_mask`
+    zeroing those features, the fused apply reproduces the sequential fg
+    output exactly (zero features x any weight, zero weights x the padded
+    dim's sin/cos). Gradients transpose back through the scatter onto the
+    original ``params['fg']`` leaves, so optimizer/checkpoint layouts are
+    untouched.
+    """
+    fg, bg = params["fg"], params["bg"]
+    d3 = cfg.pos_encoding(3).out_dim
+    d4 = cfg.pos_encoding(4).out_dim
+    idx = jnp.asarray(_fg_feature_index(cfg))
+
+    def scatter_rows(w):
+        out = jnp.zeros((d4 + (w.shape[0] - d3), w.shape[1]), w.dtype)
+        out = out.at[idx].set(w[:d3])
+        if w.shape[0] > d3:
+            out = out.at[d4:].set(w[d3:])
+        return out
+
+    base = []
+    for i in range(cfg.depth):
+        wf = fg["base"][i]["w"]
+        if i == 0 or (i - 1) in cfg.skips:
+            wf = scatter_rows(wf)
+        base.append({
+            "w": jnp.stack([wf, bg["base"][i]["w"]]),
+            "b": jnp.stack([fg["base"][i]["b"], bg["base"][i]["b"]]),
+        })
+    stacked = {"base": base}
+    for head in ("sigma", "remap", "rgb0", "rgb1"):
+        stacked[head] = {
+            "w": jnp.stack([fg[head]["w"], bg[head]["w"]]),
+            "b": jnp.stack([fg[head]["b"], bg[head]["b"]]),
+        }
+    return stacked
+
+
+def _fg_feature_mask(cfg: NerfPPConfig):
+    """(2, d4) multiplier: row 0 zeroes the 4th-dim features (fg), row 1 is
+    all-ones (bg)."""
+    import numpy as np
+
+    d4 = cfg.pos_encoding(4).out_dim
+    m = np.zeros((d4,), np.float32)
+    m[_fg_feature_index(cfg)] = 1.0
+    return jnp.asarray(np.stack([m, np.ones_like(m)]))
+
+
+def query_fused_chunked(stacked, cfg: NerfPPConfig, pts2, views_enc, chunk: int):
+    """Fused fg+bg sample-chunked remat query.
+
+    One ``lax.scan`` serves both nets: each trip runs the 8-layer MLP as
+    2-batched matmuls over ``(2, N*chunk, ·)`` operands instead of two
+    separate scans — half the trip count of the sequential path for the
+    same FLOPs (the NeRF++ step spends ~22% of device time on VMEM writes
+    at chunk boundaries, docs/perf_nerfpp.md).
+
+    Args:
+      stacked: tree from :func:`stack_fgbg_params`.
+      pts2: ``(2, N, S, 4)`` raw points — fg zero-padded to 4-D in row 0,
+        bg inverted-sphere points in row 1.
+      views_enc: ``(N, Cv)`` encoded viewdirs (shared by both nets).
+    Returns:
+      (rgb ``(2, N, S, 3)``, sigma ``(2, N, S)``).
+    """
+    S = pts2.shape[-2]
+    enc_cfg = cfg.pos_encoding(4)
+    mask = _fg_feature_mask(cfg)
+
+    def apply_raw(p, pts_c, ve):
+        pe = positional_encoding(pts_c, enc_cfg) * mask[:, None, None, :]
+        ve_b = jnp.broadcast_to(
+            ve[None, :, None, :], pe.shape[:-1] + (ve.shape[-1],)
+        )
+        return jax.vmap(lambda pn, pen, ven: mlpnet_apply(pn, cfg, pen, ven))(
+            p, pe, ve_b
+        )
+
+    if chunk <= 0 or S % chunk != 0 or S == chunk:
+        return apply_raw(stacked, pts2, views_enc)
+    n_chunks = S // chunk
+    n = pts2.shape[1]
+    pts_c = jnp.moveaxis(
+        pts2.reshape(2, n, n_chunks, chunk, pts2.shape[-1]), 2, 0
+    )
+    apply_fn = jax.checkpoint(apply_raw, prevent_cse=False)
+
+    def body(_, xs):
+        return None, apply_fn(stacked, xs, views_enc)
+
+    _, (rgb, sigma) = jax.lax.scan(body, None, pts_c)
+    rgb = jnp.moveaxis(rgb, 0, -3).reshape(2, n, S, 3)
+    sigma = jnp.moveaxis(sigma, 0, -2).reshape(2, n, S)
+    return rgb, sigma
+
+
 def init_nerfpp_net(key, cfg: NerfPPConfig, n_images: int = 0, autoexpo: bool = False):
     k_fg, k_bg = jax.random.split(key)
     params = {
@@ -187,11 +310,34 @@ def nerfpp_forward(
     viewdirs = ray_d / ray_d_norm
     views_enc = positional_encoding(viewdirs, cfg.view_encoding)
 
+    fuse = cfg.fuse_fgbg and fg_z_vals.shape == bg_z_vals.shape
+
     # ---- foreground
     fg_pts = ray_o[..., None, :] + fg_z_vals[..., None] * ray_d[..., None, :]
-    fg_rgb, fg_sigma = query_mlpnet_chunked(
-        params["fg"], cfg, fg_pts, views_enc, remat_chunk, input_dim=3
+    if not fuse:
+        fg_rgb, fg_sigma = query_mlpnet_chunked(
+            params["fg"], cfg, fg_pts, views_enc, remat_chunk, input_dim=3
+        )
+
+    # Background points (inverted sphere; flipped far -> near before the
+    # encode — PE is per-sample so flip-then-encode == encode-then-flip).
+    bg_pts, _ = depth2pts_outside(
+        jnp.broadcast_to(ray_o[..., None, :], bg_z_vals.shape + (3,)),
+        jnp.broadcast_to(ray_d[..., None, :], bg_z_vals.shape + (3,)),
+        bg_z_vals,
     )
+    bg_pts = jnp.flip(bg_pts, axis=-2)
+
+    if fuse:
+        pts2 = jnp.stack(
+            [jnp.concatenate([fg_pts, jnp.zeros_like(fg_pts[..., :1])], -1),
+             bg_pts]
+        )
+        rgb2, sigma2 = query_fused_chunked(
+            stack_fgbg_params(params, cfg), cfg, pts2, views_enc, remat_chunk
+        )
+        fg_rgb, bg_rgb = rgb2[0], rgb2[1]
+        fg_sigma, bg_sigma = sigma2[0], sigma2[1]
 
     fg_dists = fg_z_vals[..., 1:] - fg_z_vals[..., :-1]
     fg_dists = ray_d_norm * jnp.concatenate(
@@ -206,22 +352,15 @@ def nerfpp_forward(
     fg_depth_map = jnp.sum(fg_weights * fg_z_vals, axis=-1)
 
     # ---- background (inverted sphere; processed far -> near)
-    bg_pts, _ = depth2pts_outside(
-        jnp.broadcast_to(ray_o[..., None, :], bg_z_vals.shape + (3,)),
-        jnp.broadcast_to(ray_d[..., None, :], bg_z_vals.shape + (3,)),
-        bg_z_vals,
-    )
-    # Flip raw pts before encoding (PE is per-sample, so flip-then-encode
-    # == encode-then-flip) to keep the encoding inside the remat body.
-    bg_pts = jnp.flip(bg_pts, axis=-2)
     bg_z_flip = jnp.flip(bg_z_vals, axis=-1)  # 1 -> 0
     bg_dists = bg_z_flip[..., :-1] - bg_z_flip[..., 1:]
     bg_dists = jnp.concatenate(
         [bg_dists, jnp.full_like(bg_dists[..., :1], HUGE_NUMBER)], axis=-1
     )
-    bg_rgb, bg_sigma = query_mlpnet_chunked(
-        params["bg"], cfg, bg_pts, views_enc, remat_chunk, input_dim=4
-    )
+    if not fuse:
+        bg_rgb, bg_sigma = query_mlpnet_chunked(
+            params["bg"], cfg, bg_pts, views_enc, remat_chunk, input_dim=4
+        )
     bg_alpha = 1.0 - jnp.exp(-bg_sigma * bg_dists)
     T = jnp.cumprod(1.0 - bg_alpha + TINY_NUMBER, axis=-1)[..., :-1]
     T = jnp.concatenate([jnp.ones_like(T[..., :1]), T], axis=-1)

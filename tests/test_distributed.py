@@ -296,6 +296,10 @@ class TestMultiHost:
         assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
         rep = json.load(open(out))
         assert rep["ok"], rep
-        assert rep["topology"]["process_count"] == 2
-        assert rep["topology"]["global_devices"] == 8
-        assert rep["max_rel_loss_diff"] < 1e-4
+        # Since r3d the report carries one entry per pipeline.
+        assert set(rep["pipelines"]) == {"nerf", "nerfpp"}
+        for entry in rep["pipelines"].values():
+            assert entry["ok"], entry
+            assert entry["topology"]["process_count"] == 2
+            assert entry["topology"]["global_devices"] == 8
+            assert entry["max_rel_loss_diff"] < 1e-4

@@ -159,3 +159,71 @@ class TestNerfPPTraining:
         assert np.abs(ae1 - ae0).sum() > 0
         s, sh = autoexpo_params(state.params["levels"][0], 0)
         assert float(s) >= 0.5  # scale = |raw| + 0.5
+
+
+class TestFusedFgBg:
+    """NerfPPConfig(fuse_fgbg=True) — one batched remat scan for both nets —
+    must reproduce the sequential path exactly (up to f32 reassociation:
+    the fg net runs with zero rows scattered into the 4-D encoding layout,
+    fields/nerfpp.py:stack_fgbg_params)."""
+
+    def _inputs(self, n=8, s=8):
+        rng = np.random.RandomState(1)
+        ray_o = jnp.asarray(rng.randn(n, 3) * 0.1)
+        ray_d = jnp.asarray(rng.randn(n, 3))
+        fg_z_max = jnp.asarray(1.0 + rng.rand(n))
+        fg_z = jnp.sort(jnp.asarray(rng.rand(n, s)), axis=-1) * 0.9 + 0.05
+        bg_z = jnp.sort(jnp.asarray(rng.rand(n, s)), axis=-1)
+        return ray_o, ray_d, fg_z_max, fg_z, bg_z
+
+    def test_forward_and_grads_match_sequential(self):
+        params = init_nerfpp_net(jax.random.key(0), CFG, n_images=2)
+        cfg_fused = CFG.replace(fuse_fgbg=True)
+        ray_o, ray_d, fg_z_max, fg_z, bg_z = self._inputs()
+
+        def loss(p, cfg, chunk):
+            out = nerfpp_forward(p, cfg, ray_o, ray_d, fg_z_max, fg_z, bg_z,
+                                 remat_chunk=chunk)
+            return sum(jnp.sum(v) for v in out.values()), out
+
+        for chunk in (0, 4):
+            (l0, o0), g0 = jax.value_and_grad(loss, has_aux=True)(
+                params, CFG, chunk)
+            (l1, o1), g1 = jax.value_and_grad(loss, has_aux=True)(
+                params, cfg_fused, chunk)
+            for k in o0:
+                np.testing.assert_allclose(o0[k], o1[k], rtol=2e-5, atol=2e-6)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    a, b, rtol=5e-4, atol=1e-6), g0, g1)
+
+    def test_fused_train_step_runs(self):
+        cfg_fused = CFG.replace(fuse_fgbg=True)
+        rcfg = RCFG.replace(remat_chunk=4)
+        key = jax.random.key(3)
+        H = W = 16
+        K = np.array([[12.0, 0, 8, 0], [0, 12.0, 8, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]])
+        E = np.tile(np.eye(4), (2, 1, 1))
+        E[:, 2, 3] = 0.1
+        cam = init_camera(K, E, CameraConfig(H=H, W=W, convention=OPENCV,
+                                             pixel_offset=0.5))
+        params = {
+            "levels": [init_nerfpp_net(jax.random.fold_in(key, m), cfg_fused,
+                                       n_images=2) for m in range(2)],
+            "camera": cam,
+        }
+        tx = make_optimizer(5e-4, 750e3, params_example=params)
+        state = create_train_state(params, tx)
+        step = make_nerfpp_train_step(cfg_fused, rcfg, NerfPPTrainConfig(),
+                                      Curriculum(), tx)
+        rng = np.random.RandomState(0)
+        batch = {
+            "px": jnp.asarray(rng.randint(0, W, 16).astype(np.float32)),
+            "py": jnp.asarray(rng.randint(0, H, 16).astype(np.float32)),
+            "img_idx": jnp.asarray(0),
+            "target": jnp.asarray(rng.rand(16, 3).astype(np.float32)),
+            "min_depth": jnp.full((16,), 1e-4),
+        }
+        state, metrics = step(state, batch, key)
+        assert np.isfinite(float(metrics["loss"]))
