@@ -34,6 +34,9 @@ class NerfPPRenderConfig:
     # (ddp_train_nerf.py:459-473 detaches only the weights), so the
     # non-differentiable fused Pallas kernel cannot be the default here.
     # "pallas_stopgrad" opts into it, trading that bin gradient for speed.
+    # "pallas_vjp" keeps full gradients: fused Pallas forward + hand-written
+    # one-hot VJP (kernels/pdf_pallas.py:sample_pdf_pallas_diff) — gradient-
+    # equivalent to the XLA path (A/B measured, docs/perf_nerfpp.md).
     pdf_impl: str = static_field(default="xla")
 
 
@@ -84,6 +87,23 @@ def render_rays_nerfpp(
                     return sample_pdf_pallas(
                         k, jax.lax.stop_gradient(bins), w, n, det=det
                     )
+            elif render_cfg.pdf_impl == "pallas_vjp":
+                # Opt-in (config, not auto): on TPU this is the fused
+                # Mosaic kernel; on CPU it requires
+                # pltpu.force_tpu_interpret_mode() around the caller
+                # (tests/equivalence controls do this).
+                from scnerf_tpu.kernels.pdf_pallas import sample_pdf_pallas_diff
+
+                def _pdf(k, bins, w, n, det, u):
+                    if u is None:
+                        if det:
+                            u = jnp.broadcast_to(
+                                jnp.linspace(0.0, 1.0, n),
+                                bins.shape[:-1] + (n,))
+                        else:
+                            u = jax.random.uniform(
+                                k, bins.shape[:-1] + (n,))
+                    return sample_pdf_pallas_diff(bins, w, u, "nerfpp")
             else:
                 def _pdf(k, bins, w, n, det, u):
                     return sample_pdf(k, bins, w, n, det=det, u=u,
