@@ -152,7 +152,11 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "initial_noise_size_rotation": NOISE["rotation"],
         "initial_noise_size_translation": NOISE["translation"],
     }
-    cam = {"camera_model": "pinhole_rot_noise_10k_rayo_rayd", **noise}
+    # multiplicative_noise True = the published protocol (demo.sh:10 and
+    # every main_table ours.sh); additive noise stalls focal at its
+    # injected error (docs/calibration_convergence.md).
+    cam = {"camera_model": "pinhole_rot_noise_10k_rayo_rayd",
+           "multiplicative_noise": True, **noise}
     off = 10 ** 9  # curriculum threshold past any horizon
     add_od = max(n_steps // 6, 1)
     add_prd = max(n_steps // 3, 2)
