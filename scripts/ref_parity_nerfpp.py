@@ -57,6 +57,17 @@ DIST_K = None  # fisheye regime: shared (k1, k2) written as 18-float intrinsics
 CASCADE = (8, 8)
 MLP = dict(depth=8, width=64, max_freq_log2=10, max_freq_log2_viewdirs=4)
 LR, LR_DECAY_STEPS = 5e-4, 750  # reference units: *1000 inside the trainer
+# None -> N_rand = H*W (toy mode: every step is a permutation of all pixels,
+# rands scattered back to pixel order). An int < H*W switches to feeding the
+# reference's DRAWN pixels in the reference's ray order (the production
+# N_rand=256 semantics, ``nerf_sample_ray_split.py:147``) — see
+# scripts/ref_parity_fullshape_nerfpp.py.
+N_RAND = None
+REMAT_CHUNK = 0  # fullshape mode sets the production remat chunk (8)
+REF_TIMEOUT = 3600
+# Applied by main() AFTER its per-regime global resets; the fullshape
+# wrapper uses this to pin shapes without editing regime logic.
+SHAPE_OVERRIDE: dict = {}
 
 
 def scene_image(i: int) -> np.ndarray:
@@ -287,7 +298,7 @@ def run_reference(datadir: str, n_steps: int, workdir: str, camera: bool,
         "--max_freq_log2", str(MLP["max_freq_log2"]),
         "--max_freq_log2_viewdirs", str(MLP["max_freq_log2_viewdirs"]),
         "--use_viewdirs",
-        "--N_rand", str(H * W), "--N_iters", str(n_steps),
+        "--N_rand", str(N_RAND or H * W), "--N_iters", str(n_steps),
         "--cascade_level", str(len(CASCADE)),
         "--cascade_samples", ",".join(str(c) for c in CASCADE),
         "--lrate", str(LR), "--lrate_decay_factor", "0.1",
@@ -332,7 +343,7 @@ def run_reference(datadir: str, n_steps: int, workdir: str, camera: bool,
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "_ref_driver_nerfpp.py"),
          spec_path],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=REF_TIMEOUT,
     )
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:] + "\n")
@@ -368,34 +379,47 @@ def run_reference(datadir: str, n_steps: int, workdir: str, camera: bool,
 def replay_rngs(n_steps: int, pairs: dict | None = None):
     """Replay the reference's per-step numpy + torch draws
     (``ddp_train_nerf.py:362-365`` seeds; loop order per step: np randint,
-    np permutation, torch rand x4, then — PRD runs only — the np partner
-    pick ``np.random.choice(feasible_image_pairs[img_i])``,
-    ``ddp_train_nerf.py:498``)."""
+    np no-replacement pixel choice (``nerf_sample_ray_split.py:147``,
+    drawn once at cascade level 0 and reused), torch rand x4, then — PRD
+    runs only — the np partner pick
+    ``np.random.choice(feasible_image_pairs[img_i])``,
+    ``ddp_train_nerf.py:498``).
+
+    Toy mode (``N_RAND is None``): N_rand = H*W, every step permutes all
+    pixels; rands are scattered back to pixel order so ``run_ours`` can
+    feed the fixed full-image pixel grid. Fullshape mode (``N_RAND`` set):
+    the drawn pixels are fed in the REFERENCE'S ray order and rands stay
+    in draw order; ``run_ours`` gathers px/py/target by ``perm``."""
     import torch
 
     np.random.seed(777)
     torch.manual_seed(777)
     n = H * W
+    n_rand = N_RAND or n
     out = []
     for _ in range(n_steps):
         img_i = int(np.random.randint(0, N_TRAIN))
-        perm = np.random.choice(n, size=(n,), replace=False)
-        t_fg = torch.rand(n, CASCADE[0]).numpy()
-        t_bg = torch.rand(n, CASCADE[0]).numpy()
-        u_fg = torch.rand(n, CASCADE[1]).numpy()
-        u_bg = torch.rand(n, CASCADE[1]).numpy()
+        perm = np.random.choice(n, size=(n_rand,), replace=False)
+        t_fg = torch.rand(n_rand, CASCADE[0]).numpy()
+        t_bg = torch.rand(n_rand, CASCADE[0]).numpy()
+        u_fg = torch.rand(n_rand, CASCADE[1]).numpy()
+        u_bg = torch.rand(n_rand, CASCADE[1]).numpy()
 
-        def to_pixel_order(a):
-            b = np.empty_like(a)
-            b[perm] = a  # reference ray p is pixel perm[p]
-            return b
+        if N_RAND is None:
+            def reorder(a):
+                b = np.empty_like(a)
+                b[perm] = a  # reference ray p is pixel perm[p]
+                return b
+        else:
+            def reorder(a):
+                return a  # reference ray order, as drawn
 
         img_j = None
         if pairs is not None:
             img_j = int(np.random.choice(pairs[img_i]))
-        out.append((img_i, img_j, (
-            (to_pixel_order(t_fg), to_pixel_order(t_bg)),
-            (to_pixel_order(u_fg), to_pixel_order(u_bg)),
+        out.append((img_i, img_j, perm, (
+            (reorder(t_fg), reorder(t_bg)),
+            (reorder(u_fg), reorder(u_bg)),
         )))
     return out
 
@@ -438,7 +462,7 @@ def run_ours(datadir: str, n_steps: int, model_cfg, init_levels, camera: bool,
         params["camera"] = init_camera(d.intrinsics[0], d.poses, cam_cfg, k=k)
 
     render_cfg = NerfPPRenderConfig(cascade_samples=CASCADE, perturb=True,
-                                    remat_chunk=0)
+                                    remat_chunk=REMAT_CHUNK)
     train_cfg = NerfPPTrainConfig(lr_init=LR,
                                   lr_decay_steps=LR_DECAY_STEPS * 1000,
                                   autoexpo=autoexpo, lambda_autoexpo=1.0)
@@ -482,16 +506,30 @@ def run_ours(datadir: str, n_steps: int, model_cfg, init_levels, camera: bool,
     n_prd_steps = 0
     key = jax.random.key(0)
     for it in range(n_steps):
-        img_i, img_j, rands = rngs[it]
-        batch = dict(
-            base,
-            target=jnp.asarray(d.images[img_i].reshape(-1, 3)),
-            rands=jax.tree.map(jnp.asarray, rands),
-        )
-        batch["img_idx"] = jnp.full((n,), img_i, jnp.int32)
+        img_i, img_j, perm, rands = rngs[it]
+        if N_RAND is None:
+            batch = dict(
+                base,
+                target=jnp.asarray(d.images[img_i].reshape(-1, 3)),
+                rands=jax.tree.map(jnp.asarray, rands),
+            )
+            px_s, py_s = px, py
+            n_rays = n
+        else:
+            # fullshape mode: the reference's drawn pixels, in its ray order.
+            px_s = (perm % W).astype(np.float32)
+            py_s = (perm // W).astype(np.float32)
+            batch = {
+                "px": jnp.asarray(px_s), "py": jnp.asarray(py_s),
+                "min_depth": jnp.full((len(perm),), 1e-4, jnp.float32),
+                "target": jnp.asarray(d.images[img_i].reshape(-1, 3)[perm]),
+                "rands": jax.tree.map(jnp.asarray, rands),
+            }
+            n_rays = len(perm)
+        batch["img_idx"] = jnp.full((n_rays,), img_i, jnp.int32)
         if not camera:
             ro, rd = rays_opencv(jnp.asarray(d.intrinsics[img_i]),
-                                 jnp.asarray(d.poses[img_i]), px, py)
+                                 jnp.asarray(d.poses[img_i]), px_s, py_s)
             batch.update(rays_o=ro, rays_d=rd)
             batch.pop("px"), batch.pop("py")
         fn = step_fn
@@ -596,7 +634,7 @@ def run_reference_render_from_export(datadir: str, workdir: str,
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "_ref_driver_nerfpp.py"),
          spec_path],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=REF_TIMEOUT,
     )
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:] + "\n")
@@ -723,6 +761,8 @@ def main(n_steps: int = 150, out_json: str | None = None,
         camera = True
         N_TRAIN = 2  # distortion shared across views, per-view extrinsics
         DIST_K = (-0.12, 0.04)  # mild barrel: keeps warped pixels in-frame
+    for _k, _v in SHAPE_OVERRIDE.items():
+        globals()[_k] = _v
     workdir = workdir or tempfile.mkdtemp(prefix="ref_parity_nerfpp_")
     datadir = os.path.join(workdir, "data")
     build_scene(datadir)
