@@ -165,6 +165,33 @@ def main():
     except Exception:
         pass
 
+    # BASELINE.json five-config matrix (round-3 VERDICT weak #6): one
+    # throughput row per stated parity config, keyed 1:1. Config 2 is the
+    # headline measurement above; the others are measured here. Rows are
+    # best-effort: a failed row reports its error string, never kills the
+    # headline output.
+    config_matrix = {}
+
+    def _row(key_name, fn):
+        try:
+            config_matrix[key_name] = fn()
+        except Exception as e:  # pragma: no cover - defensive
+            config_matrix[key_name] = {"error": f"{type(e).__name__}: {e}"}
+
+    _row("1_lego_fixed_cams", _fixed_cam_throughput)
+    config_matrix["2_fern_learnable_KE"] = {
+        "train_rays_per_sec": round(train_rays, 1),
+        "note": "the headline measurement (full camera incl. noise grids)",
+    }
+    _row("3_full_generic_camera_prd", _prd_step_throughput)
+    if nerfpp_rays is not None:
+        config_matrix["4_nerfpp_tnt"] = {
+            "train_rays_per_sec": round(nerfpp_rays, 1),
+            "multi_chip": "see MULTICHIP_r*.json dryrun (8-device mesh)",
+        }
+    _row("5_fisheye_from_scratch", lambda: {
+        "train_rays_per_sec": round(_nerfpp_throughput(fisheye=True), 1)})
+
     # Headline: train throughput (the hot path); components in extras.
     value = train_rays
     extras = {
@@ -185,6 +212,7 @@ def main():
     extras.update(_trace_extras(_run_steps, train_dt))
     if nerfpp_rays is not None:
         extras["nerfpp_train_rays_per_sec"] = round(nerfpp_rays, 1)
+    extras["baseline_config_matrix"] = config_matrix
     # Honest same-host reference measurement (scripts/measure_ref_baseline.py
     # runs the actual torch reference here — cpu in this image, so it is a
     # footnote, not the V100 headline denominator).
@@ -207,8 +235,104 @@ def main():
     )
 
 
-def _nerfpp_throughput(n_rand: int = 2048, iters: int = 20) -> float:
-    """NeRF++ T&T workload: N_rand=2048, cascade 64,64, full camera."""
+def _fixed_cam_throughput(n_rand: int = 1024, iters: int = 30) -> dict:
+    """BASELINE config 1: vanilla NeRF, Blender-lego 400x400, fixed GT
+    cameras — precomputed rays, no camera model in the step."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from scnerf_tpu.train.curriculum import Curriculum
+    from scnerf_tpu.train.optim import make_optimizer
+    from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
+
+    model_cfg, render_cfg, params = _flagship()
+    params = {k: v for k, v in params.items() if k != "camera"}
+    train_cfg = TrainConfig(lr_init=5e-4, lr_decay_steps=250e3, near=2.0, far=6.0)
+    tx = make_optimizer(5e-4, 250e3, params_example=params)
+    state = create_train_state(params, tx)
+    step = make_train_step(model_cfg, render_cfg, train_cfg, Curriculum(), tx,
+                           donate=False)
+    rng = np.random.RandomState(5)
+    d = rng.randn(n_rand, 3).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 1.0
+    batch = {
+        "rays_o": jnp.asarray(rng.randn(n_rand, 3).astype(np.float32) * 0.1),
+        "rays_d": jnp.asarray(d),
+        "target": jnp.asarray(rng.rand(n_rand, 3).astype(np.float32)),
+    }
+    key = jax.random.key(1)
+    state, _ = step(state, batch, key)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, _ = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+    return {"train_rays_per_sec":
+            round(n_rand * iters / (time.perf_counter() - t0), 1)}
+
+
+def _prd_step_throughput(n_rand: int = 1024, n_match: int = 50,
+                         iters: int = 30) -> dict:
+    """BASELINE config 3: full generic camera (radial distortion + ray
+    noise) with the PRD loss IN the step (every step — an upper bound; the
+    production cadence is 1/i_ray_dist_loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from scnerf_tpu.camera.model import CameraConfig, init_camera
+    from scnerf_tpu.train.curriculum import Curriculum
+    from scnerf_tpu.train.optim import make_optimizer
+    from scnerf_tpu.train.step import TrainConfig, create_train_state, make_train_step
+
+    model_cfg, render_cfg, params = _flagship()
+    H, W = 756, 1008
+    old = params["camera"]
+    cfg = CameraConfig(
+        H=H, W=W, convention="opengl", use_distortion=True,
+        ray_o_noise_scale=1e-4, ray_d_noise_scale=1e-4,
+        extrinsics_noise_scale=1.0, distortion_noise_scale=1e-2)
+    params["camera"] = init_camera(
+        np.asarray(
+            [[400.0, 0, W / 2, 0], [0, 400.0, H / 2, 0],
+             [0, 0, 1, 0], [0, 0, 0, 1]]),
+        np.asarray(jnp.tile(jnp.eye(4), (old.extrinsics_init.shape[0], 1, 1))),
+        cfg)
+    train_cfg = TrainConfig(lr_init=5e-4, lr_decay_steps=250e3, near=2.0, far=6.0)
+    tx = make_optimizer(5e-4, 250e3, weight_decay=0.1, params_example=params)
+    state = create_train_state(params, tx)
+    step = make_train_step(model_cfg, render_cfg, train_cfg,
+                           Curriculum(add_prd=0, i_ray_dist_loss=1), tx,
+                           with_prd=True, donate=False)
+    rng = np.random.RandomState(6)
+    batch = {
+        "px": jnp.asarray(rng.randint(0, W, n_rand).astype(np.float32)),
+        "py": jnp.asarray(rng.randint(0, H, n_rand).astype(np.float32)),
+        "img_idx": jnp.asarray(rng.randint(0, 8, n_rand)),
+        "target": jnp.asarray(rng.rand(n_rand, 3).astype(np.float32)),
+        "kps0": jnp.asarray(rng.rand(n_match, 2).astype(np.float32) * [W, H]),
+        "kps1": jnp.asarray(rng.rand(n_match, 2).astype(np.float32) * [W, H]),
+        "kp_mask": jnp.ones((n_match,), bool),
+        "pair_idx": jnp.asarray([0, 1]),
+    }
+    key = jax.random.key(2)
+    state, _ = step(state, batch, key)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, _ = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+    return {"train_rays_per_sec":
+            round(n_rand * iters / (time.perf_counter() - t0), 1),
+            "note": "PRD every step (production cadence is 1/10)"}
+
+
+def _nerfpp_throughput(n_rand: int = 2048, iters: int = 20,
+                       fisheye: bool = False) -> float:
+    """NeRF++ T&T workload: N_rand=2048, cascade 64,64, full camera.
+    ``fisheye`` switches the camera to the Distortion variant (radial
+    warp + tied ray noise + multiplicative K — BASELINE config 5)."""
     import jax
     import jax.numpy as jnp
 
@@ -229,7 +353,12 @@ def _nerfpp_throughput(n_rand: int = 2048, iters: int = 20) -> float:
     E = np.array(embed_rotation_44(axis_angle_to_rotation(
         jnp.asarray(ax), jnp.asarray(rng.rand(12) * 0.3))))
     E[:, :3, 3] = rng.randn(12, 3) * 0.2
-    cam = init_camera(K, E, CameraConfig(H=H, W=W, convention=OPENCV, pixel_offset=0.5))
+    cam = init_camera(
+        K, E,
+        CameraConfig(H=H, W=W, convention=OPENCV, pixel_offset=0.5,
+                     use_distortion=fisheye, tied_ray_noise=fisheye,
+                     multiplicative_noise=fisheye),
+        k=np.asarray([-0.1, 0.03], np.float32) if fisheye else None)
     pcfg = NerfPPConfig()
     prcfg = NerfPPRenderConfig(cascade_samples=(64, 64))
     key = jax.random.key(7)
@@ -257,7 +386,7 @@ def _nerfpp_throughput(n_rand: int = 2048, iters: int = 20) -> float:
     return n_rand * iters / (time.perf_counter() - t0)
 
 
-def _main_with_retry(attempts: int = 3, timeout_s: int = 480) -> int:
+def _main_with_retry(attempts: int = 3, timeout_s: int = 900) -> int:
     """Run the measurement in a subprocess with a timeout, retrying on a
     hang. The axon TPU tunnel intermittently wedges NEW client sessions at
     setup (threads parked in RPC wait, zero progress — see CLAUDE.md
