@@ -230,7 +230,11 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "initial_noise_size_rotation": NOISE["rotation"],
         "initial_noise_size_translation": NOISE["translation"],
         "i_print": 1000, "i_img": 10 ** 9, "i_testset": 10 ** 9,
-        "i_video": 10 ** 9, "i_weights": max(n_steps // 2, 1),
+        # checkpoint at the eval cadence: axon can wedge MID-RUN (r4: a
+        # 200k soak stalled at 74k with no ckpt); with a fixed --workdir a
+        # relaunch auto-resumes from the last eval boundary.
+        "i_video": 10 ** 9, "i_weights": min(max(n_steps // 2, 1),
+                                             eval_every),
         "expname": "soak", "basedir": workdir,
     }, warn=lambda *a: None)
     expdir = os.path.join(workdir, "soak")
@@ -304,6 +308,11 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "camera_gate_pass": bool(
             cam_err.get("rot_err_deg", 0.0) < curve[0].get("rot_err_deg", np.inf)
             and cam_err.get("trans_err", 0.0) < curve[0].get("trans_err", np.inf)
+            # r4: focal must also shrink (it was pinned at its injected
+            # value for 20k steps under the additive parameterization —
+            # docs/calibration_convergence.md).
+            and cam_err.get("focal_rel_err", 0.0)
+            < 0.9 * curve[0].get("focal_rel_err", np.inf)
         ),
     }
     report = {
