@@ -90,6 +90,7 @@ class TestLpipsGating:
 
 
 class TestEvalHooks:
+    @pytest.mark.slow
     def test_train_loop_with_hooks(self, tmp_path):
         import json
         from tests.test_driver import TestDriverEndToEnd
@@ -146,6 +147,7 @@ class TestLpipsTorchParity:
     torchvision's vgg16.features and the LPIPS forward (round-1 VERDICT
     weak item 6: structure bugs vs torch would otherwise go unnoticed)."""
 
+    @pytest.mark.slow
     def test_converted_weights_match_torch_forward(self, tmp_path):
         torch = pytest.importorskip("torch")
         import torch.nn as nn

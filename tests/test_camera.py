@@ -4,6 +4,7 @@ Golden values are computed analytically (not from torch); the F.interpolate
 parity test uses a numpy reimplementation of align_corners=False bilinear
 upsampling as the oracle.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -177,6 +178,7 @@ class TestRays:
             py[0], -10.0 * (1 + 0.1 * ry**2 + 0.01 * ry**4) + 20.0, rtol=1e-6
         )
 
+    @pytest.mark.slow
     def test_gradients_flow_to_all_camera_params(self):
         cam, _, _ = make_camera(use_distortion=True, convention=OPENCV)
 

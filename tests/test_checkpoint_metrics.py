@@ -62,6 +62,7 @@ class TestCheckpoint:
 
         return build()
 
+    @pytest.mark.slow
     def test_roundtrip_and_resume(self, tmp_path):
         state, step, batch = self._make()
         key = jax.random.key(0)
@@ -79,6 +80,7 @@ class TestCheckpoint:
         s2, m2 = step(restored, batch, jax.random.fold_in(key, 99))
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
 
+    @pytest.mark.slow
     def test_keep_prunes_old(self, tmp_path):
         state, step, batch = self._make()
         key = jax.random.key(1)

@@ -74,6 +74,7 @@ class TestMesh:
 
 
 class TestShardedTraining:
+    @pytest.mark.slow
     def test_sharded_step_matches_single_device(self, eight_devices):
         """The distributed step must produce numerically identical updates
         (up to f32 reduction order) to the single-device step."""
@@ -94,6 +95,7 @@ class TestShardedTraining:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    @pytest.mark.slow
     def test_camera_grads_synchronized(self, eight_devices):
         """After a sharded step the camera params are bitwise identical on
         every device (the psum fixed the reference's divergence)."""
@@ -107,6 +109,7 @@ class TestShardedTraining:
         for v in vals[1:]:
             np.testing.assert_array_equal(v, vals[0])
 
+    @pytest.mark.slow
     def test_graft_dryrun(self, eight_devices):
         from __graft_entry__ import dryrun_multichip
 
@@ -114,6 +117,7 @@ class TestShardedTraining:
 
 
 class TestNerfPPSharded:
+    @pytest.mark.slow
     def test_nerfpp_sharded_step_matches(self, eight_devices):
         from tests.test_nerfpp import TestNerfPPTraining
 
@@ -202,6 +206,7 @@ class TestMultiStepShardedTrajectory:
             losses.append(float(m["loss"]))
         return sstate, losses
 
+    @pytest.mark.slow
     def test_nerf_trajectory_with_ckpt_cycle(self, eight_devices, tmp_path):
         state, step, batch = small_problem()
         key = jax.random.key(11)
@@ -215,6 +220,7 @@ class TestMultiStepShardedTrajectory:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-3)
 
+    @pytest.mark.slow
     def test_nerfpp_trajectory_with_ckpt_cycle(self, eight_devices, tmp_path):
         from tests.test_nerfpp import TestNerfPPTraining
 
@@ -230,6 +236,7 @@ class TestMultiStepShardedTrajectory:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-3)
 
+    @pytest.mark.slow
     def test_restored_sharded_state_is_bitwise(self, eight_devices, tmp_path):
         """The ckpt cycle itself must be lossless: save sharded, restore,
         re-replicate — every leaf bitwise identical."""
@@ -248,6 +255,7 @@ class TestMultiStepShardedTrajectory:
 
 
 class TestPixelPoolSharded:
+    @pytest.mark.slow
     def test_mixed_image_batch_shards_and_matches(self, eight_devices):
         """The batching+camera path (PixelPool) produces per-ray MIXED
         image indices; the sharded step must gather per-shard extrinsics

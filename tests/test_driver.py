@@ -591,6 +591,7 @@ class TestIVideoHook:
 
 
 class TestNerfPPDeviceSampling:
+    @pytest.mark.slow
     def test_nerfpp_driver_device_sampling(self, tmp_path):
         """run_nerfpp_training with on-device batch sampling (VERDICT item 6:
         device-resident sampling wired for the nerfpp driver)."""
@@ -631,6 +632,7 @@ class TestNerfPPDeviceSampling:
 
 
 class TestNerfPPHeldOutResolution:
+    @pytest.mark.slow
     def test_eval_split_with_different_resolution(self, tmp_path):
         """Held-out NeRF++ eval must render at the SPLIT's resolution, not
         the train split's."""
@@ -792,6 +794,7 @@ class TestBatchingWithCamera:
         pool.next_batch(8)
         assert pool.epoch == 1
 
+    @pytest.mark.slow
     def test_driver_uses_pixel_pool_with_camera_batching(self, tmp_path):
         from scnerf_tpu.train.driver import sample_batch, train_loop
 
@@ -837,6 +840,7 @@ class TestFisheyeDriver:
                 " ".join(map(str, pose.reshape(-1))))
         return str(root)
 
+    @pytest.mark.slow
     def test_fisheye_experiment_builds_distortion_camera(self, tmp_path):
         import jax
         import jax.numpy as jnp
@@ -888,6 +892,7 @@ class TestRenderOnlyShim:
 
 
 class TestNerfPPImgHook:
+    @pytest.mark.slow
     def test_i_img_writes_render_panels(self, tmp_path):
         """The i_img hook writes rgb/fg/bg/depth panels
         (ddp_train_nerf.py:580-601 + log_view_to_tb)."""

@@ -132,6 +132,7 @@ class TestPdfPallasDiff:
             frac_off = (np.abs(gp - gw) / denom > 1e-4).mean()
             assert frac_off < 2e-3, (name, frac_off)
 
+    @pytest.mark.slow
     def test_grads_vs_finite_difference(self):
         """Direct check that the hand-written VJP is a true derivative of
         the kernel's own forward (catches sign/guard mistakes that an
@@ -160,6 +161,7 @@ class TestPdfPallasDiff:
 
 
 class TestFusedMlpPallas:
+    @pytest.mark.slow
     def test_matches_xla_forward(self):
         """Experimental fused kernel: numerics vs query_field (interpret
         mode runs exact f32, so tolerance is tight)."""

@@ -110,6 +110,7 @@ class TestHFSuperGlue:
     config exercises the full code path; the pretrained branch activates
     automatically the day weights land in the local HF cache)."""
 
+    @pytest.mark.slow
     def test_random_init_plumbing(self):
         torch = pytest.importorskip("torch")
         pytest.importorskip("transformers")

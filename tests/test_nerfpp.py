@@ -1,5 +1,6 @@
 """NeRF++ pipeline tests: inverted-sphere geometry, fg/bg compositing,
 cascade training, auto-exposure."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +60,7 @@ def rand_rays(key, n=16):
 
 
 class TestNerfPPForward:
+    @pytest.mark.slow
     def test_composite_shapes_and_ranges(self):
         key = jax.random.key(0)
         params = init_nerfpp_net(key, CFG)
@@ -89,6 +91,7 @@ class TestNerfPPForward:
 
 
 class TestCascade:
+    @pytest.mark.slow
     def test_levels_and_sample_growth(self):
         key = jax.random.key(2)
         params = [init_nerfpp_net(jax.random.fold_in(key, m), CFG) for m in range(2)]
@@ -98,6 +101,7 @@ class TestCascade:
         assert outs[0]["fg_weights"].shape == (16, 8)
         assert outs[1]["fg_weights"].shape == (16, 16)  # 8 old + 8 resampled
 
+    @pytest.mark.slow
     def test_chunked_matches_direct_det(self):
         key = jax.random.key(3)
         rcfg = RCFG.replace(perturb=False, chunk=12)
@@ -139,6 +143,7 @@ class TestNerfPPTraining:
         }
         return state, step, batch
 
+    @pytest.mark.slow
     def test_loss_decreases(self):
         state, step, batch = self.build()
         key = jax.random.key(6)
@@ -149,6 +154,7 @@ class TestNerfPPTraining:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
 
+    @pytest.mark.slow
     def test_autoexpo_params_update(self):
         state, step, batch = self.build(autoexpo=True)
         ae0 = np.array(state.params["levels"][0]["autoexpo"])
@@ -176,6 +182,7 @@ class TestFusedFgBg:
         bg_z = jnp.sort(jnp.asarray(rng.rand(n, s)), axis=-1)
         return ray_o, ray_d, fg_z_max, fg_z, bg_z
 
+    @pytest.mark.slow
     def test_forward_and_grads_match_sequential(self):
         params = init_nerfpp_net(jax.random.key(0), CFG, n_images=2)
         cfg_fused = CFG.replace(fuse_fgbg=True)
@@ -197,6 +204,7 @@ class TestFusedFgBg:
                 lambda a, b: np.testing.assert_allclose(
                     a, b, rtol=5e-4, atol=1e-6), g0, g1)
 
+    @pytest.mark.slow
     def test_fused_train_step_runs(self):
         cfg_fused = CFG.replace(fuse_fgbg=True)
         rcfg = RCFG.replace(remat_chunk=4)

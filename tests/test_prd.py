@@ -5,6 +5,7 @@ truth cameras into two views to get *perfect* correspondences, and check PRD
 is ~0 with the true camera, positive with a perturbed one, and differentiable
 back to camera parameters.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +56,7 @@ def rays_at(cam, kps, idx):
 
 
 class TestPrd:
+    @pytest.mark.slow
     def test_zero_for_ground_truth_camera(self):
         cam, kps0, kps1 = make_scene()
         r0 = rays_at(cam, kps0, 0)
@@ -81,6 +83,7 @@ class TestPrd:
         )
         assert float(loss) > 0.01
 
+    @pytest.mark.slow
     def test_padding_mask_excludes_garbage(self):
         cam, kps0, kps1 = make_scene(n_pts=32)
         pad0 = np.concatenate([kps0, np.full((8, 2), 1e3, np.float32)])
@@ -120,6 +123,7 @@ class TestPrd:
         # loss can never exceed the threshold.
         assert float(loss) <= 5.0
 
+    @pytest.mark.slow
     def test_grad_reaches_camera(self):
         cam, kps0, kps1 = make_scene()
 
@@ -158,6 +162,7 @@ class TestPairs:
 
 
 class TestPrdDegenerate:
+    @pytest.mark.slow
     def test_identical_cameras_finite_gradients(self):
         """run_without_colmap=both init: every camera at identity/origin.
         Rays are parallel, triangulation is degenerate — the loss must be
@@ -250,6 +255,7 @@ class TestDistortionAwarePrd:
         )
         return float(loss), float(n)
 
+    @pytest.mark.slow
     def test_gt_k_scores_near_zero(self):
         cam, kps0_u, kps1_u = self._scene()
         from scnerf_tpu.camera.model import get_distortion
@@ -266,6 +272,7 @@ class TestDistortionAwarePrd:
         loss_zero, _ = self._prd(cam, kps0_u, kps1_u, jnp.zeros(2))
         assert loss_zero > 50 * max(loss_gt, 1e-4), (loss_gt, loss_zero)
 
+    @pytest.mark.slow
     def test_k_gradient_nonzero(self):
         """d(PRD)/d(distortion_noise) must be nonzero — the property the
         reference's commented-out path was meant to provide."""

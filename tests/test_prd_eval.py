@@ -1,4 +1,5 @@
 """PRD-evaluation tests: GT filtering and pair-mean semantics."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,6 +42,7 @@ class TestGtFilter:
 
 
 class TestPrdEvaluation:
+    @pytest.mark.slow
     def test_gt_camera_scores_near_zero(self):
         cam, kps0, kps1 = make_scene()
         cache, rays = build_cache_and_rays(cam, kps0, kps1)

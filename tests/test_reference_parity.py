@@ -155,6 +155,7 @@ class TestRenderParity:
                           white_bkgd=True)
         np.testing.assert_allclose(np.asarray(got["rgb"]), w_rgb.numpy(), atol=1e-5)
 
+    @pytest.mark.slow
     def test_sample_pdf_det(self, torch, ref_render):
         import jax.numpy as jnp
 

@@ -1,4 +1,5 @@
 """Renderer and compositing tests (golden values + invariants)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +42,7 @@ class TestComposite:
         np.testing.assert_allclose(out["acc"][0], 1.0, atol=1e-5)
         np.testing.assert_allclose(out["depth"][0], 2.0, atol=1e-2)
 
+    @pytest.mark.slow
     def test_empty_space_and_white_bkgd(self):
         raw = jnp.full((2, 8, 4), -100.0)  # relu(sigma)=0 -> transparent
         z = jnp.broadcast_to(jnp.linspace(1, 2, 8), (2, 8))
@@ -87,6 +89,7 @@ def tiny_setup(use_viewdirs=True, n_importance=8):
 
 
 class TestRenderer:
+    @pytest.mark.slow
     def test_remat_stash_bf16_close_and_differentiable(self):
         """``remat_stash_bf16`` (the HBM A/B lever) must keep outputs close
         to the f32 stash — the bf16 quantization only touches the sample
@@ -113,6 +116,7 @@ class TestRenderer:
         g = jax.grad(loss)(params)
         assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
 
+    @pytest.mark.slow
     def test_shapes_and_finite(self):
         model_cfg, render_cfg, params = tiny_setup()
         key = jax.random.key(2)
@@ -133,6 +137,7 @@ class TestRenderer:
         out = render_rays(params, model_cfg, render_cfg, rays_o, rays_d, rays_d, 1.0, 5.0, key)
         assert "rgb0" not in out and out["rgb"].shape == (16, 3)
 
+    @pytest.mark.slow
     def test_chunked_matches_direct_when_det(self):
         model_cfg, render_cfg, params = tiny_setup()
         render_cfg = render_cfg.replace(perturb=False, chunk=40)  # non-divisor chunk
@@ -145,6 +150,7 @@ class TestRenderer:
         np.testing.assert_allclose(chunked["rgb"], direct["rgb"], atol=5e-5)
         np.testing.assert_allclose(chunked["acc"], direct["acc"], atol=5e-5)
 
+    @pytest.mark.slow
     def test_gradients_flow_to_mlp(self):
         model_cfg, render_cfg, params = tiny_setup()
         key = jax.random.key(5)

@@ -70,6 +70,7 @@ class TestSamplePdf:
         s = sample_pdf(None, bins, weights, 9, det=True)
         np.testing.assert_allclose(s[0], np.linspace(0, 1, 9), atol=1e-4)
 
+    @pytest.mark.slow
     def test_concentrates_on_heavy_bin(self):
         key = jax.random.key(2)
         bins = jnp.linspace(0.0, 1.0, 6)[None]
@@ -111,6 +112,7 @@ class TestOneHotGatherHelpers:
         np.testing.assert_array_equal(np.asarray(take_along_last(x, idx)),
                                       np.asarray(ref))
 
+    @pytest.mark.slow
     def test_take_along_last_vjp_matches_take_along_axis(self):
         from scnerf_tpu.sampling.pdf import take_along_last
 

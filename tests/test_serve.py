@@ -52,6 +52,7 @@ def _rays(n, seed=0):
 
 
 class TestNerfServeFn:
+    @pytest.mark.slow
     def test_matches_eval_render_path(self):
         params = _nerf_setup()
         fn = make_nerf_serve_fn(params, MODEL_CFG, RENDER_CFG)
@@ -76,6 +77,7 @@ class TestNerfServeFn:
         a, b = fn(*rays), fn(*rays)
         np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
 
+    @pytest.mark.slow
     def test_ndc_variant_runs(self):
         params = _nerf_setup()
         fn = make_nerf_serve_fn(params, MODEL_CFG, RENDER_CFG,
@@ -87,6 +89,7 @@ class TestNerfServeFn:
 
 
 class TestRenderService:
+    @pytest.mark.slow
     def test_pads_and_matches_direct(self):
         params = _nerf_setup()
         fn = make_nerf_serve_fn(params, MODEL_CFG, RENDER_CFG)
@@ -140,6 +143,7 @@ class TestExportArtifact:
         # introspection survives the round trip
         assert loaded.exported.in_avals[0].shape == (8, 3)
 
+    @pytest.mark.slow
     def test_loaded_artifact_feeds_service(self, tmp_path):
         """The deserialized artifact is itself jittable → servable."""
         params = _nerf_setup()
@@ -170,6 +174,7 @@ class TestNerfPPServe:
         ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
         return ray_o, ray_d, np.full((n,), 1e-4, np.float32)
 
+    @pytest.mark.slow
     def test_matches_eval_path_and_exports(self, tmp_path):
         level_params = self._setup()
         fn = make_nerfpp_serve_fn(level_params, self.CFG, self.RCFG)
@@ -190,6 +195,7 @@ class TestNerfPPServe:
         np.testing.assert_allclose(np.asarray(got2["rgb"]), got["rgb"],
                                    rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.slow
     def test_service(self):
         level_params = self._setup()
         fn = make_nerfpp_serve_fn(level_params, self.CFG, self.RCFG)

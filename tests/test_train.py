@@ -1,6 +1,7 @@
 """End-to-end training tests: the 'minimum slice' of SURVEY.md section 7 —
 loader -> rays -> stratified -> MLP -> composite -> inverse-CDF -> loss ->
 optax -> psnr — plus curriculum and optimizer-mask behavior."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,6 +66,7 @@ def build(step_kwargs=None, opt_kwargs=None, cur=None, with_camera=True):
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_loss_decreases_overfit(self):
         state, step, batch = build()
         key = jax.random.key(7)
@@ -88,6 +90,7 @@ class TestEndToEnd:
         np.testing.assert_array_equal(np.array(state.params["camera"].intrinsics_init), init0)
         np.testing.assert_array_equal(np.array(state.params["camera"].extrinsics_init), ext0)
 
+    @pytest.mark.slow
     def test_curriculum_gates_camera_updates(self):
         cur = Curriculum(add_ie=2, add_od=1000)
         state, step, batch = build(cur=cur)
@@ -114,6 +117,7 @@ class TestEndToEnd:
         fmask = frozen_mask(state.params)
         assert fmask["camera"].intrinsics_init and not fmask["camera"].ray_o_grid
 
+    @pytest.mark.slow
     def test_no_camera_precomputed_rays(self):
         state, step, _ = build(with_camera=False)
         key = jax.random.key(10)
@@ -132,6 +136,7 @@ class TestEndToEnd:
 
 
 class TestNdcTraining:
+    @pytest.mark.slow
     def test_ndc_with_learned_focal_runs(self):
         state, step, batch = build(step_kwargs={"use_ndc": True, "near": 0.0, "far": 1.0})
         key = jax.random.key(11)
@@ -169,6 +174,7 @@ class TestDeviceSampling:
         assert float(b["px"].min()) >= 15 and float(b["px"].max()) < 45
         assert float(b["py"].min()) >= 10 and float(b["py"].max()) < 30
 
+    @pytest.mark.slow
     def test_multistep_matches_single_step_trajectory(self):
         """steps_per_call=K is a pure dispatch-batching change: the fused
         scan must reproduce the K=1 wrapper's trajectory bit-for-bit (the
@@ -195,6 +201,7 @@ class TestDeviceSampling:
         )
         assert int(state3.step) == 6
 
+    @pytest.mark.slow
     def test_wrapped_step_trains(self):
         from scnerf_tpu.train.device_sampling import make_device_sampling_step
 
