@@ -168,6 +168,10 @@ class OptimConfig:
     # multiplies by 1000); the txt-shim loader converts (_apply_special).
     use_custom_optim: bool = False
     non_linear_weight_decay: float = 0.0
+    # EXTENSION (no reference analogue): update multiplier on the camera's
+    # global calibration leaves (intrinsics/extrinsics/distortion noise).
+    # 1.0 = reference-exact shared LR. See train/optim.py:make_optimizer.
+    camera_lrate_mult: float = 1.0
     N_iters: int = 200_001
     # camera-transfer (reference load_camera/load_test): checkpoint dir to
     # pull calibrated camera fields from; load_test also copies extrinsics.

@@ -207,6 +207,7 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         train_cfg.lr_init, train_cfg.lr_decay_steps,
         weight_decay=cfg.optim.non_linear_weight_decay if cfg.optim.use_custom_optim else 0.0,
         params_example=params,
+        camera_lr_mult=cfg.optim.camera_lrate_mult,
     )
     state = create_train_state(params, tx)
 

@@ -90,6 +90,13 @@ def clip_grads_elementwise(bound: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
 
 
+def camera_pose_mask(params: Any) -> Any:
+    """True for the camera's global calibration parameters (intrinsics /
+    extrinsics / distortion noise) — the leaves ``camera_lr_mult`` scales."""
+    return _camera_mask(
+        params, ("intrinsics_noise", "extrinsics_noise", "distortion_noise"))
+
+
 def make_optimizer(
     lr_init: float,
     decay_steps: float,
@@ -101,12 +108,23 @@ def make_optimizer(
     params_example: Any = None,
     grad_clip: float = 1e6,
     lr_floor: float = 0.0,
+    camera_lr_mult: float = 1.0,
 ) -> optax.GradientTransformation:
     """Adam + exp decay + masked L2-in-grad decay + frozen-initials zeroing.
 
     ``grad_clip``: element-wise gradient bound (0 disables). The default 1e6
     is far above any healthy gradient; it only guards against pathological
     overflow poisoning Adam state.
+
+    ``camera_lr_mult``: EXTENSION beyond the reference (which shares one Adam
+    LR across field and camera, ``create_nerf.py:199-336``). Scales the
+    post-Adam update on the camera's global calibration leaves
+    (intrinsics/extrinsics/distortion noise — NOT the per-ray grids, whose
+    decay balance the shared LR sets). Motivation: Adam's per-parameter
+    velocity is ~lr in PARAMETER units, so the handful of calibration scalars
+    crawl at the field's LR while their (clean, PRD-driven) signal could
+    support a much larger one — measured in docs/calibration_convergence.md.
+    1.0 (the default) is reference-exact.
     """
     schedule = exp_decay_schedule(lr_init, decay_factor, decay_steps, lr_floor)
     chain = []
@@ -117,6 +135,9 @@ def make_optimizer(
         chain.append(optax.masked(optax.add_decayed_weights(weight_decay), mask))
     chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
     chain.append(optax.scale_by_learning_rate(schedule))
+    if camera_lr_mult != 1.0 and params_example is not None:
+        cmask = camera_pose_mask(params_example)
+        chain.append(optax.masked(optax.scale(camera_lr_mult), cmask))
     if params_example is not None:
         fmask = frozen_mask(params_example)
         chain.append(optax.masked(optax.set_to_zero(), fmask))

@@ -191,7 +191,9 @@ def eval_protocol_ab(exp) -> dict:
 
 def main(n_steps: int, out_json: str | None, workdir: str | None,
          small: bool = False, eval_every: int = 1000,
-         psnr_gate: float = 25.0):
+         psnr_gate: float = 25.0, prd_weight: float = 1e-4,
+         prd_cadence: int = 10, camera_lr_mult: float = 1.0,
+         add_prd: int = 2000):
     preflight()
     workdir = workdir or tempfile.mkdtemp(prefix="soak_nerf_")
     scene = os.path.join(workdir, "scene")
@@ -225,7 +227,10 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         # (docs/calibration_convergence.md, round-4).
         "multiplicative_noise": True,
         "ray_loss_type": "proj_ray_dist", "matcher": "sift",
-        "i_ray_dist_loss": 10, "add_ie": 0, "add_od": 1000, "add_prd": 2000,
+        "i_ray_dist_loss": prd_cadence, "add_ie": 0, "add_od": 1000,
+        "add_prd": add_prd,
+        "ray_dist_loss_weight": prd_weight,
+        "camera_lrate_mult": camera_lr_mult,
         "initial_noise_size_intrinsic": NOISE["intrinsic"],
         "initial_noise_size_rotation": NOISE["rotation"],
         "initial_noise_size_translation": NOISE["translation"],
@@ -321,6 +326,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "scene": "analytic 3-blob field (consistent 3D), black background",
         "injected_noise": NOISE,
         "sampling_path": "pixel_pool (batching+camera, the published default)",
+        "prd_protocol": {"weight": prd_weight, "cadence": prd_cadence,
+                         "camera_lr_mult": camera_lr_mult, "add_prd": add_prd},
         "train_rays_per_sec_incl_compile": round(
             n_steps * cfg.sampling.N_rand / total_dt, 1),
         "train_rays_per_sec_marginal": round(
@@ -349,6 +356,12 @@ if __name__ == "__main__":
     ap.add_argument("--psnr_gate", type=float, default=25.0)
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes (CPU smoke of the soak mechanics)")
+    # Calibration-protocol sweep knobs (round-4: joint-training calibration
+    # speed; defaults reproduce the published reference protocol).
+    ap.add_argument("--prd_weight", type=float, default=1e-4)
+    ap.add_argument("--prd_cadence", type=int, default=10)
+    ap.add_argument("--camera_lr_mult", type=float, default=1.0)
+    ap.add_argument("--add_prd", type=int, default=2000)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
                          "ignores JAX_PLATFORMS; this uses jax.config)")
@@ -362,4 +375,6 @@ if __name__ == "__main__":
 
         supervise()  # axon wedge guard: respawn until "[preflight]" appears
     main(a.steps, a.out, a.workdir, small=a.small, eval_every=a.eval_every,
-         psnr_gate=a.psnr_gate)
+         psnr_gate=a.psnr_gate, prd_weight=a.prd_weight,
+         prd_cadence=a.prd_cadence, camera_lr_mult=a.camera_lr_mult,
+         add_prd=a.add_prd)

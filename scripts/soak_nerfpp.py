@@ -80,17 +80,111 @@ def write_exact_matches_opencv(path: str, poses, intrinsics, H: int, W: int,
     return n_pairs
 
 
+SCRATCH_NOISE = dict(rotation_deg=1.0, translation=0.02, focal_mult=1.05)
+
+
+def corrupt_train_split(scene: str, rng_seed: int = 3) -> str:
+    """FROM-SCRATCH protocol (BASELINE config 5, 'FishEyeNeRF
+    self-calibration from scratch'): the images stay rendered by the TRUE
+    distorted camera, but the TRAIN split's camera files are corrupted —
+    radial distortion zeroed (the run must DISCOVER k), focal scaled by
+    5%, poses perturbed by 1 deg / 0.02 — so the learnable camera starts
+    from a miscalibrated state exactly like the reference's injected-noise
+    protocol (``load_llff.py:319-360``). Val/test splits stay truthful.
+    Returns the path of the saved true-camera .npz (for error metrics)."""
+    import glob
+
+    from scnerf_tpu.data.noise import NoiseConfig, inject_pose_noise
+
+    d = os.path.join(scene, "train")
+    intr_files = sorted(glob.glob(os.path.join(d, "intrinsics", "*.txt")))
+    pose_files = sorted(glob.glob(os.path.join(d, "pose", "*.txt")))
+    Ks, ks, poses = [], [], []
+    for f in intr_files:
+        vals = np.array([float(x) for x in open(f).read().split()])
+        Ks.append(vals[:16].reshape(4, 4))
+        ks.append(vals[16:18] if len(vals) >= 18 else np.zeros(2))
+    for f in pose_files:
+        poses.append(np.array([float(x) for x in open(f).read().split()])
+                     .reshape(4, 4))
+    Ks, ks, poses = np.stack(Ks), np.stack(ks), np.stack(poses)
+    true_npz = os.path.join(scene, "true_train_cams.npz")
+    np.savez(true_npz, poses=poses, K=Ks[0], k=ks[0])
+
+    noisy, _ = inject_pose_noise(
+        poses, float(Ks[0, 0, 0]), np.arange(len(poses)),
+        NoiseConfig(rotation_deg=SCRATCH_NOISE["rotation_deg"],
+                    translation=SCRATCH_NOISE["translation"]),
+        rng=np.random.RandomState(rng_seed))
+    for i, f in enumerate(intr_files):
+        K = Ks[i].copy()
+        K[0, 0] *= SCRATCH_NOISE["focal_mult"]
+        K[1, 1] *= SCRATCH_NOISE["focal_mult"]
+        out = list(K.reshape(-1)) + [0.0, 0.0]  # k zeroed: discover it
+        open(f, "w").write(" ".join(repr(float(x)) for x in out))
+    for i, f in enumerate(pose_files):
+        open(f, "w").write(" ".join(repr(float(x))
+                                    for x in noisy[i].reshape(-1)))
+    return true_npz
+
+
+def scratch_camera_errors(exp, true_npz: str) -> dict:
+    """Learned camera vs the TRUE (pre-corruption) train cameras:
+    Sim(3)-aligned rotation/translation error, focal relative error, and
+    radial-distortion error (the soak_nerf.py protocol, OPENCV side)."""
+    import jax.numpy as jnp
+
+    from scnerf_tpu.camera.model import (get_distortion, get_extrinsics,
+                                         get_intrinsic)
+    from scnerf_tpu.geometry.alignment import (align_c2w_trajectories,
+                                               apply_sim3)
+
+    cam = exp.state.params.get("camera")
+    if cam is None:
+        return {}
+    t = np.load(true_npz)
+    learned = np.asarray(get_extrinsics(cam), np.float64)
+    _, (s, R, tt) = align_c2w_trajectories(
+        jnp.asarray(t["poses"], jnp.float32),
+        jnp.asarray(learned, jnp.float32))
+    aligned = np.asarray(apply_sim3(jnp.asarray(t["poses"], jnp.float32),
+                                    s, R, tt), np.float64)
+    Ra = aligned[:, :3, :3]
+    Ra = Ra / np.cbrt(np.linalg.det(Ra))[:, None, None]
+    fro = np.linalg.norm((Ra - learned[:, :3, :3]).reshape(-1, 9), axis=-1)
+    rot_deg = np.degrees(2.0 * np.arcsin(
+        np.clip(fro / (2.0 * np.sqrt(2.0)), 0.0, 1.0)))
+    trans = np.linalg.norm(aligned[:, :3, 3] - learned[:, :3, 3], axis=-1)
+    K = np.asarray(get_intrinsic(cam))
+    f_gt = float(t["K"][0, 0])
+    k_learned = np.asarray(get_distortion(cam), np.float64)
+    k_gt = np.asarray(t["k"], np.float64)
+    return {
+        "rot_err_deg": float(rot_deg.mean()),
+        "trans_err": float(trans.mean()),
+        "focal_rel_err": float(abs(K[0, 0] - f_gt) / f_gt),
+        "k1_err": float(abs(k_learned[0] - k_gt[0])),
+        "k2_err": float(abs(k_learned[1] - k_gt[1])),
+        "k_learned": [float(x) for x in k_learned],
+    }
+
+
 def main(n_steps: int, out_json: str | None, workdir: str | None,
          fisheye: bool = False, eval_every: int = 1000,
-         psnr_gate: float = 25.0):
+         psnr_gate: float = 25.0, from_scratch: bool = False,
+         small: bool = False):
     preflight()
+    assert not (from_scratch and not fisheye), \
+        "--from_scratch is the fisheye self-calibration protocol"
     workdir = workdir or tempfile.mkdtemp(prefix="soak_nerfpp_")
     datadir = os.path.join(workdir, "data")
     from _analytic_scene import build_nerfpp_scene
 
     dist_k = (-0.12, 0.04) if fisheye else None
-    scene = build_nerfpp_scene(datadir, n_train=8, n_val=2, H=120, W=160,
+    H, W = (40, 56) if small else (120, 160)
+    scene = build_nerfpp_scene(datadir, n_train=8, n_val=2, H=H, W=W,
                                dist_k=dist_k, scale=SCALE)
+    true_npz = corrupt_train_split(scene) if from_scratch else None
 
     from scnerf_tpu.core.config import ExperimentConfig
     from scnerf_tpu.train.nerfpp_driver import (
@@ -103,9 +197,14 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
     cfg = ExperimentConfig()
     cfg.dataset.dataset_type = "nerfpp"
     cfg.dataset.datadir = scene
-    cfg.sampling.N_rand = 2048
+    cfg.sampling.N_rand = 256 if small else 2048
     cfg.sampling.device_sampling = True
-    cfg.model.cascade_samples = (64, 64)
+    cfg.model.cascade_samples = (8, 8) if small else (64, 64)
+    if small:
+        cfg.model.netdepth = 2
+        cfg.model.netwidth = 32
+        cfg.model.multires = 4
+        cfg.model.multires_views = 2
     cfg.camera.camera_model = "pinhole_rot_noise_10k_rayo_rayd"
     cfg.camera.matcher = "sift"
     cfg.camera.ray_loss_type = "proj_ray_dist"
@@ -121,6 +220,13 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         cfg.camera.multiplicative_noise = True
         cfg.camera.ray_loss_type = "none"
         cfg.camera.add_radial = 500
+    if from_scratch:
+        # k must traverse from 0 to (-0.12, 0.04). At the default noise
+        # scale 1e-2 Adam's ~lr-per-step parameter velocity would need
+        # >20k ideal steps just for k1 (the additive-parameterization trap
+        # of docs/calibration_convergence.md); 0.1 makes the trip ~10x
+        # shorter while keeping the last-digit resolution ample.
+        cfg.camera.distortion_noise_scale = 0.1
     cfg.optim.lrate_decay_steps = 750_000
     cfg.logging.expname = "soak"
     cfg.logging.basedir = workdir
@@ -156,6 +262,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         row = {"step": int(step),
                **{k: (float(v) if isinstance(v, (int, float, np.floating))
                       else v) for k, v in ev.items()}}
+        if true_npz:
+            row.update(scratch_camera_errors(exp, true_npz))
         curve.append(row)
         print(f"[soak] {json.dumps(row)}", flush=True)
 
@@ -190,9 +298,26 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "psnr_gate_db": psnr_gate,
         "psnr_gate_pass": bool(ev["psnr"] > psnr_gate),
     }
+    if true_npz:
+        err0, errN = curve[0], scratch_camera_errors(exp, true_npz)
+        quality["camera_err_initial"] = {
+            k: err0[k] for k in ("rot_err_deg", "trans_err",
+                                 "focal_rel_err", "k1_err", "k2_err")}
+        quality["camera_err_final"] = errN
+        # gates: every calibration error must shrink, and the discovered
+        # k1 must cover at least half the distance from 0 to the truth.
+        quality["camera_gate_pass"] = bool(
+            errN["rot_err_deg"] < err0["rot_err_deg"]
+            and errN["trans_err"] < err0["trans_err"]
+            and errN["focal_rel_err"] < 0.9 * err0["focal_rel_err"]
+            and errN["k1_err"] < 0.5 * err0["k1_err"])
     report = {
         "n_steps": n_steps + extra,
         "fisheye": bool(fisheye),
+        "from_scratch": bool(from_scratch),
+        **({"injected": SCRATCH_NOISE,
+            "true_k": [-0.12, 0.04], "k_init": [0.0, 0.0]}
+           if from_scratch else {}),
         "n_rand": cfg.sampling.N_rand,
         "scene": "analytic 3-blob field (consistent 3D, scaled into the "
                  "unit fg sphere), black background",
@@ -225,9 +350,16 @@ if __name__ == "__main__":
     ap.add_argument("--fisheye", action="store_true",
                     help="soak the fisheye pipeline (distortion camera, "
                          "tied ray noise, multiplicative K)")
+    ap.add_argument("--from_scratch", action="store_true",
+                    help="fisheye SELF-CALIBRATION protocol (BASELINE "
+                         "config 5): zero distortion init, 5%% focal + "
+                         "1deg/0.02 pose corruption on the train split; "
+                         "gates on recovering k/focal/pose")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
                          "ignores JAX_PLATFORMS; this uses jax.config)")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny shapes (CPU smoke of the soak mechanics)")
     a = ap.parse_args()
     if a.cpu:
         import jax
@@ -238,4 +370,5 @@ if __name__ == "__main__":
 
         supervise()  # axon wedge guard: respawn until "[preflight]" appears
     main(a.steps, a.out, a.workdir, fisheye=a.fisheye,
-         eval_every=a.eval_every, psnr_gate=a.psnr_gate)
+         eval_every=a.eval_every, psnr_gate=a.psnr_gate,
+         from_scratch=a.from_scratch, small=a.small)

@@ -107,6 +107,39 @@ class TestEndToEnd:
         assert float(jnp.abs(cam.intrinsics_noise).sum()) > 0
         np.testing.assert_array_equal(np.array(cam.ray_o_grid), np.zeros_like(cam.ray_o_grid))
 
+    def test_camera_lr_mult_scales_only_calibration_leaves(self):
+        """camera_lr_mult must scale the post-Adam update on the camera's
+        intrinsics/extrinsics/distortion noise (and nothing else). With a
+        constant gradient, Adam's first update is ~lr*sign(g), so the mult-4
+        update must be 4x the mult-1 update on those leaves and identical on
+        the MLP and the per-ray grids."""
+        state, _, _ = build()
+        params = state.params
+        grads = jax.tree.map(jnp.ones_like, params)
+
+        def first_update(mult):
+            tx = make_optimizer(1e-3, 1e9, params_example=params,
+                                camera_lr_mult=mult)
+            opt_state = tx.init(params)
+            upd, _ = tx.update(grads, opt_state, params)
+            return upd
+
+        u1, u4 = first_update(1.0), first_update(4.0)
+        np.testing.assert_allclose(
+            np.array(u4["camera"].intrinsics_noise),
+            4.0 * np.array(u1["camera"].intrinsics_noise), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.array(u4["camera"].extrinsics_noise),
+            4.0 * np.array(u1["camera"].extrinsics_noise), rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.array(u4["camera"].ray_o_grid), np.array(u1["camera"].ray_o_grid))
+        for a, b in zip(jax.tree.leaves(u1["coarse"]), jax.tree.leaves(u4["coarse"])):
+            np.testing.assert_array_equal(np.array(a), np.array(b))
+        # frozen initials still pinned at zero update
+        np.testing.assert_array_equal(
+            np.array(u4["camera"].intrinsics_init),
+            np.zeros_like(np.array(u4["camera"].intrinsics_init)))
+
     def test_weight_decay_mask_targets_noise_grids(self):
         state, step, batch = build()
         mask = noise_decay_mask(state.params)
