@@ -193,7 +193,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
          small: bool = False, eval_every: int = 1000,
          psnr_gate: float = 25.0, prd_weight: float = 1e-4,
          prd_cadence: int = 10, camera_lr_mult: float = 1.0,
-         add_prd: int = 2000):
+         add_prd: int = 2000, focal_gate: float | None = None,
+         rot_gate: float | None = None):
     preflight()
     workdir = workdir or tempfile.mkdtemp(prefix="soak_nerf_")
     scene = os.path.join(workdir, "scene")
@@ -320,6 +321,17 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             < 0.9 * curve[0].get("focal_rel_err", np.inf)
         ),
     }
+    # r4b ABSOLUTE gates (opt-in): the camera_lr_mult=8 protocol reaches
+    # focal <1e-3 / rot <0.5 deg in 5k steps (CALIBRATION_SWEEP.json), so
+    # quality soaks can demand convergence, not just improvement.
+    if focal_gate is not None:
+        quality["focal_gate"] = focal_gate
+        quality["focal_gate_pass"] = bool(
+            cam_err.get("focal_rel_err", np.inf) < focal_gate)
+    if rot_gate is not None:
+        quality["rot_gate_deg"] = rot_gate
+        quality["rot_gate_pass"] = bool(
+            cam_err.get("rot_err_deg", np.inf) < rot_gate)
     report = {
         "n_steps": n_steps + extra,
         "n_rand": cfg.sampling.N_rand,
@@ -362,6 +374,8 @@ if __name__ == "__main__":
     ap.add_argument("--prd_cadence", type=int, default=10)
     ap.add_argument("--camera_lr_mult", type=float, default=1.0)
     ap.add_argument("--add_prd", type=int, default=2000)
+    ap.add_argument("--focal_gate", type=float, default=None)
+    ap.add_argument("--rot_gate", type=float, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
                          "ignores JAX_PLATFORMS; this uses jax.config)")
@@ -377,4 +391,4 @@ if __name__ == "__main__":
     main(a.steps, a.out, a.workdir, small=a.small, eval_every=a.eval_every,
          psnr_gate=a.psnr_gate, prd_weight=a.prd_weight,
          prd_cadence=a.prd_cadence, camera_lr_mult=a.camera_lr_mult,
-         add_prd=a.add_prd)
+         add_prd=a.add_prd, focal_gate=a.focal_gate, rot_gate=a.rot_gate)

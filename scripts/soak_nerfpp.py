@@ -172,7 +172,7 @@ def scratch_camera_errors(exp, true_npz: str) -> dict:
 def main(n_steps: int, out_json: str | None, workdir: str | None,
          fisheye: bool = False, eval_every: int = 1000,
          psnr_gate: float = 25.0, from_scratch: bool = False,
-         small: bool = False):
+         small: bool = False, camera_lr_mult: float = 1.0):
     preflight()
     assert not (from_scratch and not fisheye), \
         "--from_scratch is the fisheye self-calibration protocol"
@@ -228,6 +228,10 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         # shorter while keeping the last-digit resolution ample.
         cfg.camera.distortion_noise_scale = 0.1
     cfg.optim.lrate_decay_steps = 750_000
+    # Calibration-LR extension (default 1.0 = reference-exact shared LR).
+    # The from-scratch protocol must traverse finite distances in noise
+    # units; see docs/calibration_convergence.md round-4b sweep.
+    cfg.optim.camera_lrate_mult = camera_lr_mult
     cfg.logging.expname = "soak"
     cfg.logging.basedir = workdir
     cfg.logging.i_print = 1000
@@ -319,6 +323,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             "true_k": [-0.12, 0.04], "k_init": [0.0, 0.0]}
            if from_scratch else {}),
         "n_rand": cfg.sampling.N_rand,
+        "camera_lr_mult": camera_lr_mult,
         "scene": "analytic 3-blob field (consistent 3D, scaled into the "
                  "unit fg sphere), black background",
         "train_rays_per_sec_incl_compile": round(
@@ -360,6 +365,9 @@ if __name__ == "__main__":
                          "ignores JAX_PLATFORMS; this uses jax.config)")
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes (CPU smoke of the soak mechanics)")
+    ap.add_argument("--camera_lr_mult", type=float, default=1.0,
+                    help="LR multiplier on the global calibration leaves "
+                         "(docs/calibration_convergence.md round-4b)")
     a = ap.parse_args()
     if a.cpu:
         import jax
@@ -371,4 +379,5 @@ if __name__ == "__main__":
         supervise()  # axon wedge guard: respawn until "[preflight]" appears
     main(a.steps, a.out, a.workdir, fisheye=a.fisheye,
          eval_every=a.eval_every, psnr_gate=a.psnr_gate,
-         from_scratch=a.from_scratch, small=a.small)
+         from_scratch=a.from_scratch, small=a.small,
+         camera_lr_mult=a.camera_lr_mult)
