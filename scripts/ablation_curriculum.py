@@ -138,7 +138,8 @@ def classical_baselines(matches_npz: str, K_gt, K_noisy) -> dict:
 
 
 def main(n_steps: int, out_json: str | None, workdir: str | None,
-         small: bool = False, gain_gate: float = 3.0) -> dict:
+         small: bool = False, gain_gate: float = 3.0,
+         camera_lr_mult: float = 1.0) -> dict:
     preflight()
     workdir = workdir or tempfile.mkdtemp(prefix="ablation_")
     scene = os.path.join(workdir, "scene")
@@ -155,8 +156,13 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
     # multiplicative_noise True = the published protocol (demo.sh:10 and
     # every main_table ours.sh); additive noise stalls focal at its
     # injected error (docs/calibration_convergence.md).
+    # camera_lr_mult: LR multiplier on the global calibration leaves —
+    # 1.0 = reference-exact; 8.0 = the round-4b sweep winner
+    # (CALIBRATION_SWEEP.json: focal 5%->0.06% in 5k steps, +5 dB).
+    # Applied to EVERY camera row so stage-to-stage gains stay comparable.
     cam = {"camera_model": "pinhole_rot_noise_10k_rayo_rayd",
-           "multiplicative_noise": True, **noise}
+           "multiplicative_noise": True,
+           "camera_lrate_mult": camera_lr_mult, **noise}
     off = 10 ** 9  # curriculum threshold past any horizon
     add_od = max(n_steps // 6, 1)
     add_prd = max(n_steps // 3, 2)
@@ -195,6 +201,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "scene": f"analytic 3-blob field, {H}x{W}, 12 train / 2 test views",
         "injected_noise": NOISE,
         "curriculum": {"add_od": add_od, "add_prd": add_prd},
+        "camera_lr_mult": camera_lr_mult,
         "rows": rows,
         "classical_baselines": classical,
         "full_vs_noisy_gain_db": round(gain, 2),
@@ -215,6 +222,9 @@ if __name__ == "__main__":
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--gain_gate", type=float, default=3.0)
+    ap.add_argument("--camera_lr_mult", type=float, default=1.0,
+                    help="LR multiplier on the calibration leaves for all "
+                         "camera rows (docs/calibration_convergence.md)")
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes (CPU smoke of the ablation mechanics)")
     ap.add_argument("--cpu", action="store_true",
@@ -229,4 +239,5 @@ if __name__ == "__main__":
         from _watchdog import supervise
 
         supervise()  # axon wedge guard: respawn until "[preflight]" appears
-    main(a.steps, a.out, a.workdir, small=a.small, gain_gate=a.gain_gate)
+    main(a.steps, a.out, a.workdir, small=a.small, gain_gate=a.gain_gate,
+         camera_lr_mult=a.camera_lr_mult)
