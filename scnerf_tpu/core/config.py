@@ -172,6 +172,10 @@ class OptimConfig:
     # global calibration leaves (intrinsics/extrinsics/distortion noise).
     # 1.0 = reference-exact shared LR. See train/optim.py:make_optimizer.
     camera_lrate_mult: float = 1.0
+    # Anneal the multiplier back to 1.0 after this step (0 = hold forever).
+    # A held mult drifts post-convergence (docs/calibration_convergence.md
+    # round-4c); 5000 ≈ the measured convergence horizon at mult=8.
+    camera_lrate_mult_until: int = 0
     N_iters: int = 200_001
     # camera-transfer (reference load_camera/load_test): checkpoint dir to
     # pull calibrated camera fields from; load_test also copies extrinsics.

@@ -208,6 +208,7 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         weight_decay=cfg.optim.non_linear_weight_decay if cfg.optim.use_custom_optim else 0.0,
         params_example=params,
         camera_lr_mult=cfg.optim.camera_lrate_mult,
+        camera_lr_mult_until=cfg.optim.camera_lrate_mult_until,
     )
     state = create_train_state(params, tx)
 

@@ -130,6 +130,7 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
         # (ddp_train_nerf.py:388-390); the NeRF schedule has no floor.
         lr_floor=0.01 * train_cfg.lr_init,
         camera_lr_mult=cfg.optim.camera_lrate_mult,
+        camera_lr_mult_until=cfg.optim.camera_lrate_mult_until,
     )
     state = create_train_state(params, tx)
 

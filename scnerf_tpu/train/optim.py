@@ -109,6 +109,7 @@ def make_optimizer(
     grad_clip: float = 1e6,
     lr_floor: float = 0.0,
     camera_lr_mult: float = 1.0,
+    camera_lr_mult_until: int = 0,
 ) -> optax.GradientTransformation:
     """Adam + exp decay + masked L2-in-grad decay + frozen-initials zeroing.
 
@@ -125,6 +126,14 @@ def make_optimizer(
     crawl at the field's LR while their (clean, PRD-driven) signal could
     support a much larger one — measured in docs/calibration_convergence.md.
     1.0 (the default) is reference-exact.
+
+    ``camera_lr_mult_until``: anneal the multiplier back to 1.0 after this
+    many steps (0 = hold forever). Measured necessity: at mult=8 held past
+    convergence the camera performs a dolly-zoom random walk the field
+    co-adapts to (20k soak: focal 5%→0.6% by 5k, then drifting to 10.7% by
+    15k — SOAK_NERF_QUALITY_CLM8_DRIFT curve); a calibration *phase* keeps
+    the 30× convergence speedup and the post-convergence stability of the
+    shared LR.
     """
     schedule = exp_decay_schedule(lr_init, decay_factor, decay_steps, lr_floor)
     chain = []
@@ -137,7 +146,17 @@ def make_optimizer(
     chain.append(optax.scale_by_learning_rate(schedule))
     if camera_lr_mult != 1.0 and params_example is not None:
         cmask = camera_pose_mask(params_example)
-        chain.append(optax.masked(optax.scale(camera_lr_mult), cmask))
+        if camera_lr_mult_until > 0:
+            def _mult_sched(count, _m=camera_lr_mult,
+                            _u=camera_lr_mult_until):
+                import jax.numpy as jnp
+
+                return jnp.where(count < _u, _m, 1.0)
+
+            inner = optax.scale_by_schedule(_mult_sched)
+        else:
+            inner = optax.scale(camera_lr_mult)
+        chain.append(optax.masked(inner, cmask))
     if params_example is not None:
         fmask = frozen_mask(params_example)
         chain.append(optax.masked(optax.set_to_zero(), fmask))

@@ -193,6 +193,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
          small: bool = False, eval_every: int = 1000,
          psnr_gate: float = 25.0, prd_weight: float = 1e-4,
          prd_cadence: int = 10, camera_lr_mult: float = 1.0,
+         camera_lr_until: int = 0,
          add_prd: int = 2000, focal_gate: float | None = None,
          rot_gate: float | None = None):
     preflight()
@@ -232,6 +233,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "add_prd": add_prd,
         "ray_dist_loss_weight": prd_weight,
         "camera_lrate_mult": camera_lr_mult,
+        "camera_lrate_mult_until": camera_lr_until,
         "initial_noise_size_intrinsic": NOISE["intrinsic"],
         "initial_noise_size_rotation": NOISE["rotation"],
         "initial_noise_size_translation": NOISE["translation"],
@@ -339,7 +341,9 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "injected_noise": NOISE,
         "sampling_path": "pixel_pool (batching+camera, the published default)",
         "prd_protocol": {"weight": prd_weight, "cadence": prd_cadence,
-                         "camera_lr_mult": camera_lr_mult, "add_prd": add_prd},
+                         "camera_lr_mult": camera_lr_mult,
+                         "camera_lr_until": camera_lr_until,
+                         "add_prd": add_prd},
         "train_rays_per_sec_incl_compile": round(
             n_steps * cfg.sampling.N_rand / total_dt, 1),
         "train_rays_per_sec_marginal": round(
@@ -373,6 +377,9 @@ if __name__ == "__main__":
     ap.add_argument("--prd_weight", type=float, default=1e-4)
     ap.add_argument("--prd_cadence", type=int, default=10)
     ap.add_argument("--camera_lr_mult", type=float, default=1.0)
+    ap.add_argument("--camera_lr_until", type=int, default=0,
+                    help="anneal the mult back to 1.0 after this step "
+                         "(0 = hold; held mults drift post-convergence)")
     ap.add_argument("--add_prd", type=int, default=2000)
     ap.add_argument("--focal_gate", type=float, default=None)
     ap.add_argument("--rot_gate", type=float, default=None)
@@ -391,4 +398,5 @@ if __name__ == "__main__":
     main(a.steps, a.out, a.workdir, small=a.small, eval_every=a.eval_every,
          psnr_gate=a.psnr_gate, prd_weight=a.prd_weight,
          prd_cadence=a.prd_cadence, camera_lr_mult=a.camera_lr_mult,
+         camera_lr_until=a.camera_lr_until,
          add_prd=a.add_prd, focal_gate=a.focal_gate, rot_gate=a.rot_gate)

@@ -140,6 +140,31 @@ class TestEndToEnd:
             np.array(u4["camera"].intrinsics_init),
             np.zeros_like(np.array(u4["camera"].intrinsics_init)))
 
+    def test_camera_lr_mult_until_anneals_to_shared_lr(self):
+        """With camera_lr_mult_until=N the multiplier applies for the first
+        N steps and is exactly 1.0 after (measured necessity: a held mult
+        drifts post-convergence, docs/calibration_convergence.md r4c)."""
+        state, _, _ = build()
+        params = state.params
+        grads = jax.tree.map(jnp.ones_like, params)
+        tx_ann = make_optimizer(1e-3, 1e9, params_example=params,
+                                camera_lr_mult=4.0, camera_lr_mult_until=2)
+        tx_ref = make_optimizer(1e-3, 1e9, params_example=params)
+        os_a, os_r = tx_ann.init(params), tx_ref.init(params)
+        for i in range(4):
+            ua, os_a = tx_ann.update(grads, os_a, params)
+            ur, os_r = tx_ref.update(grads, os_r, params)
+            ia = np.array(ua["camera"].intrinsics_noise)
+            ir = np.array(ur["camera"].intrinsics_noise)
+            if i < 2:
+                np.testing.assert_allclose(ia, 4.0 * ir, rtol=1e-6)
+            else:
+                np.testing.assert_allclose(ia, ir, rtol=1e-6)
+            # MLP updates identical at every step
+            np.testing.assert_array_equal(
+                np.array(jax.tree.leaves(ua["coarse"])[0]),
+                np.array(jax.tree.leaves(ur["coarse"])[0]))
+
     def test_weight_decay_mask_targets_noise_grids(self):
         state, step, batch = build()
         mask = noise_decay_mask(state.params)
