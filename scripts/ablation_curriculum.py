@@ -139,7 +139,7 @@ def classical_baselines(matches_npz: str, K_gt, K_noisy) -> dict:
 
 def main(n_steps: int, out_json: str | None, workdir: str | None,
          small: bool = False, gain_gate: float = 3.0,
-         camera_lr_mult: float = 1.0) -> dict:
+         camera_lr_mult: float = 1.0, camera_lr_until: int = 0) -> dict:
     preflight()
     workdir = workdir or tempfile.mkdtemp(prefix="ablation_")
     scene = os.path.join(workdir, "scene")
@@ -162,7 +162,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
     # Applied to EVERY camera row so stage-to-stage gains stay comparable.
     cam = {"camera_model": "pinhole_rot_noise_10k_rayo_rayd",
            "multiplicative_noise": True,
-           "camera_lrate_mult": camera_lr_mult, **noise}
+           "camera_lrate_mult": camera_lr_mult,
+           "camera_lrate_mult_until": camera_lr_until, **noise}
     off = 10 ** 9  # curriculum threshold past any horizon
     add_od = max(n_steps // 6, 1)
     add_prd = max(n_steps // 3, 2)
@@ -202,6 +203,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "injected_noise": NOISE,
         "curriculum": {"add_od": add_od, "add_prd": add_prd},
         "camera_lr_mult": camera_lr_mult,
+        "camera_lr_until": camera_lr_until,
         "rows": rows,
         "classical_baselines": classical,
         "full_vs_noisy_gain_db": round(gain, 2),
@@ -225,6 +227,8 @@ if __name__ == "__main__":
     ap.add_argument("--camera_lr_mult", type=float, default=1.0,
                     help="LR multiplier on the calibration leaves for all "
                          "camera rows (docs/calibration_convergence.md)")
+    ap.add_argument("--camera_lr_until", type=int, default=0,
+                    help="anneal the mult to 1.0 after this step")
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes (CPU smoke of the ablation mechanics)")
     ap.add_argument("--cpu", action="store_true",
@@ -240,4 +244,4 @@ if __name__ == "__main__":
 
         supervise()  # axon wedge guard: respawn until "[preflight]" appears
     main(a.steps, a.out, a.workdir, small=a.small, gain_gate=a.gain_gate,
-         camera_lr_mult=a.camera_lr_mult)
+         camera_lr_mult=a.camera_lr_mult, camera_lr_until=a.camera_lr_until)
