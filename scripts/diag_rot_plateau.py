@@ -80,6 +80,8 @@ def main(workdir: str, out_json: str | None, stride: int = 4):
     # brings in the trained params; the dataset/noise replay is seeded.
     cfg = experiment_from_flags({
         "camera_lrate_mult": snap["optim"].get("camera_lrate_mult", 1.0),
+        "camera_lrate_mult_until": snap["optim"].get(
+            "camera_lrate_mult_until", 0),
         "ray_dist_loss_weight": snap["camera"].get(
             "ray_dist_loss_weight", 1e-4),
         "dataset_type": "blender", "datadir": scene, "testskip": 1,
