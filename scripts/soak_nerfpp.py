@@ -219,7 +219,17 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         cfg.camera.run_fisheye = True
         cfg.camera.multiplicative_noise = True
         cfg.camera.ray_loss_type = "none"
-        cfg.camera.add_radial = 500
+        # The PUBLISHED curriculum is late-unfreeze and staged
+        # (fisheyenerf/globe_ours.txt: N_iters 1.5M, add_ie 500k,
+        # add_radial 800k, add_od 1.1M): the field fits FIRST, then K/E,
+        # then radial, then grids. Replicate the proportions at soak
+        # timescale — unfreezing everything near step 0 lets the field
+        # co-adapt to the uncalibrated camera and k never recovers
+        # (measured: k stuck at +0.003 vs true -0.12 over 20k steps with
+        # add_ie=0/add_radial=500).
+        cfg.camera.add_ie = max(n_steps // 3, 1)
+        cfg.camera.add_radial = max(8 * n_steps // 15, 2)
+        cfg.camera.add_od = max(11 * n_steps // 15, 3)
     if from_scratch:
         # k must traverse from 0 to (-0.12, 0.04). At the default noise
         # scale 1e-2 Adam's ~lr-per-step parameter velocity would need
