@@ -473,8 +473,10 @@ def train_loop(
                         os.path.join(exp.logger.expdir, f"val_{step_now:08d}.png"),
                         to8b(out["rgb"]),
                     )
-                except Exception:
-                    pass
+                except (ImportError, OSError) as e:
+                    # PNG dump is best-effort (imageio/disk may be absent);
+                    # anything else (bad shapes, NaN to8b) must surface.
+                    print(f"[i_img] PNG dump skipped: {e}", flush=True)
             if (
                 cfg.logging.i_video > 0
                 and step_now % cfg.logging.i_video == 0
