@@ -134,7 +134,8 @@ def _look_at_c2w_opencv(pos: np.ndarray) -> np.ndarray:
 def build_nerfpp_scene(datadir: str, n_train: int = 8, n_val: int = 2,
                        H: int = 120, W: int = 160,
                        dist_k: tuple | None = None,
-                       scale: float = 0.2, cam_radius: float = 0.7) -> str:
+                       scale: float = 0.2, cam_radius: float = 0.7,
+                       focal_scale: float = 0.9) -> str:
     """NeRF++ split-layout export of the analytic scene.
 
     Cameras ring the origin at radius ``cam_radius`` (inside the NeRF++
@@ -152,7 +153,12 @@ def build_nerfpp_scene(datadir: str, n_train: int = 8, n_val: int = 2,
     from scnerf_tpu.geometry.so3 import K_inverse_3x3
     from scnerf_tpu.tools.colmap import write_nerfpp_split
 
-    focal = 0.9 * W
+    # focal_scale < 0.9 widens the FOV so content reaches high normalized
+    # radius — required for radial-k OBSERVABILITY: distortion displacement
+    # is ~|k1| r^3 f px, sub-pixel for center-weighted content at the
+    # default geometry (measured: median 0.19 px at focal 0.9W/scale 0.2,
+    # docs/calibration_convergence.md round-4d).
+    focal = focal_scale * W
     K = np.eye(4)
     K[0, 0], K[1, 1] = focal, focal
     K[0, 2], K[1, 2] = W / 2.0, H / 2.0
@@ -169,7 +175,7 @@ def build_nerfpp_scene(datadir: str, n_train: int = 8, n_val: int = 2,
                           precision="highest")
         rays_d = jnp.matmul(dirs, c2w[:3, :3].T, precision="highest")
         rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
-        near = cam_radius - 2.5 * scale
+        near = max(cam_radius - 2.5 * scale, 0.05)
         far = cam_radius + 2.5 * scale
         return render_gt_rays(rays_o, rays_d, near, far,
                               scale=scale).reshape(H, W, 3)

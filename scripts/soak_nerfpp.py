@@ -172,7 +172,8 @@ def scratch_camera_errors(exp, true_npz: str) -> dict:
 def main(n_steps: int, out_json: str | None, workdir: str | None,
          fisheye: bool = False, eval_every: int = 1000,
          psnr_gate: float = 25.0, from_scratch: bool = False,
-         small: bool = False, camera_lr_mult: float = 1.0):
+         small: bool = False, camera_lr_mult: float = 1.0,
+         wide_fov: bool = False):
     preflight()
     assert not (from_scratch and not fisheye), \
         "--from_scratch is the fisheye self-calibration protocol"
@@ -182,8 +183,14 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
 
     dist_k = (-0.12, 0.04) if fisheye else None
     H, W = (40, 56) if small else (120, 160)
+    # --wide_fov: k-OBSERVABILITY variant — wider FOV + bigger blobs so
+    # content reaches high normalized radius (median distortion
+    # displacement ~0.2 px at the default geometry, so k is photometrically
+    # near-unobservable there; docs/calibration_convergence.md round-4d).
+    focal_scale, scene_scale = (0.5, 0.32) if wide_fov else (0.9, SCALE)
     scene = build_nerfpp_scene(datadir, n_train=8, n_val=2, H=H, W=W,
-                               dist_k=dist_k, scale=SCALE)
+                               dist_k=dist_k, scale=scene_scale,
+                               focal_scale=focal_scale)
     true_npz = corrupt_train_split(scene) if from_scratch else None
 
     from scnerf_tpu.core.config import ExperimentConfig
@@ -334,6 +341,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
            if from_scratch else {}),
         "n_rand": cfg.sampling.N_rand,
         "camera_lr_mult": camera_lr_mult,
+        "wide_fov": bool(wide_fov),
         "scene": "analytic 3-blob field (consistent 3D, scaled into the "
                  "unit fg sphere), black background",
         "train_rays_per_sec_incl_compile": round(
@@ -378,6 +386,9 @@ if __name__ == "__main__":
     ap.add_argument("--camera_lr_mult", type=float, default=1.0,
                     help="LR multiplier on the global calibration leaves "
                          "(docs/calibration_convergence.md round-4b)")
+    ap.add_argument("--wide_fov", action="store_true",
+                    help="k-observability scene variant (wider FOV + "
+                         "bigger blobs -> content at high radius)")
     a = ap.parse_args()
     if a.cpu:
         import jax
@@ -390,4 +401,4 @@ if __name__ == "__main__":
     main(a.steps, a.out, a.workdir, fisheye=a.fisheye,
          eval_every=a.eval_every, psnr_gate=a.psnr_gate,
          from_scratch=a.from_scratch, small=a.small,
-         camera_lr_mult=a.camera_lr_mult)
+         camera_lr_mult=a.camera_lr_mult, wide_fov=a.wide_fov)
