@@ -167,6 +167,10 @@ def snapshot(exp, tag: str) -> dict:
 
 def main(workdir: str, out_json: str | None, polish_steps: int,
          refit_steps: int) -> dict:
+    from soak_nerf import preflight
+
+    preflight()  # REQUIRED under _watchdog.supervise(): it watches for
+    # the "[preflight]" line and kills+retries runs that never print it.
     exp = load_experiment(workdir)
     t0 = time.perf_counter()
     rows = [snapshot(exp, "baseline")]
