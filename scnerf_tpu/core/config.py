@@ -176,6 +176,13 @@ class OptimConfig:
     # A held mult drifts post-convergence (docs/calibration_convergence.md
     # round-4c); 5000 ≈ the measured convergence horizon at mult=8.
     camera_lrate_mult_until: int = 0
+    # EXTENSION: extra update multiplier on the distortion_noise leaf ONLY,
+    # composing with camera_lrate_mult (effective k mult = product). The
+    # from-scratch fisheye protocol must traverse |k1|=0.12 = 12 noise-units
+    # at scale 1e-2 while focal needs only 0.05 — a 240x longer trip at the
+    # same Adam velocity (docs/calibration_convergence.md round-4d/4f).
+    distortion_lrate_mult: float = 1.0
+    distortion_lrate_mult_until: int = 0
     N_iters: int = 200_001
     # camera-transfer (reference load_camera/load_test): checkpoint dir to
     # pull calibrated camera fields from; load_test also copies extrinsics.

@@ -209,6 +209,8 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         params_example=params,
         camera_lr_mult=cfg.optim.camera_lrate_mult,
         camera_lr_mult_until=cfg.optim.camera_lrate_mult_until,
+        distortion_lr_mult=cfg.optim.distortion_lrate_mult,
+        distortion_lr_mult_until=cfg.optim.distortion_lrate_mult_until,
     )
     state = create_train_state(params, tx)
 

@@ -97,6 +97,25 @@ def camera_pose_mask(params: Any) -> Any:
         params, ("intrinsics_noise", "extrinsics_noise", "distortion_noise"))
 
 
+def distortion_mask(params: Any) -> Any:
+    """True for the camera's distortion_noise leaf only — the leaf
+    ``distortion_lr_mult`` scales (composes with ``camera_lr_mult``)."""
+    return _camera_mask(params, ("distortion_noise",))
+
+
+def _annealed_scale(mult: float, until: int) -> optax.GradientTransformation:
+    """``optax.scale(mult)`` for the first ``until`` steps, 1.0 after
+    (``until = 0`` holds the multiplier forever)."""
+    if until > 0:
+        def _sched(count, _m=mult, _u=until):
+            import jax.numpy as jnp
+
+            return jnp.where(count < _u, _m, 1.0)
+
+        return optax.scale_by_schedule(_sched)
+    return optax.scale(mult)
+
+
 def make_optimizer(
     lr_init: float,
     decay_steps: float,
@@ -110,6 +129,8 @@ def make_optimizer(
     lr_floor: float = 0.0,
     camera_lr_mult: float = 1.0,
     camera_lr_mult_until: int = 0,
+    distortion_lr_mult: float = 1.0,
+    distortion_lr_mult_until: int = 0,
 ) -> optax.GradientTransformation:
     """Adam + exp decay + masked L2-in-grad decay + frozen-initials zeroing.
 
@@ -126,6 +147,12 @@ def make_optimizer(
     crawl at the field's LR while their (clean, PRD-driven) signal could
     support a much larger one — measured in docs/calibration_convergence.md.
     1.0 (the default) is reference-exact.
+
+    ``distortion_lr_mult`` (+``_until``): extra multiplier on the
+    distortion_noise leaf only, composing with ``camera_lr_mult``. The
+    from-scratch fisheye protocol (BASELINE config 5) must move k1 by 12
+    noise-units (|k1|=0.12 at scale 1e-2) where focal needs 0.05 — a 240x
+    longer trip at Adam's ~lr/step velocity, hence its own (larger) mult.
 
     ``camera_lr_mult_until``: anneal the multiplier back to 1.0 after this
     many steps (0 = hold forever). Measured necessity: at mult=8 held past
@@ -146,17 +173,14 @@ def make_optimizer(
     chain.append(optax.scale_by_learning_rate(schedule))
     if camera_lr_mult != 1.0 and params_example is not None:
         cmask = camera_pose_mask(params_example)
-        if camera_lr_mult_until > 0:
-            def _mult_sched(count, _m=camera_lr_mult,
-                            _u=camera_lr_mult_until):
-                import jax.numpy as jnp
-
-                return jnp.where(count < _u, _m, 1.0)
-
-            inner = optax.scale_by_schedule(_mult_sched)
-        else:
-            inner = optax.scale(camera_lr_mult)
-        chain.append(optax.masked(inner, cmask))
+        chain.append(optax.masked(
+            _annealed_scale(camera_lr_mult, camera_lr_mult_until), cmask))
+    if distortion_lr_mult != 1.0 and params_example is not None:
+        # Composes with camera_lr_mult: effective distortion mult = product.
+        dmask = distortion_mask(params_example)
+        chain.append(optax.masked(
+            _annealed_scale(distortion_lr_mult, distortion_lr_mult_until),
+            dmask))
     if params_example is not None:
         fmask = frozen_mask(params_example)
         chain.append(optax.masked(optax.set_to_zero(), fmask))

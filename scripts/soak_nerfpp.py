@@ -173,7 +173,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
          fisheye: bool = False, eval_every: int = 1000,
          psnr_gate: float = 25.0, from_scratch: bool = False,
          small: bool = False, camera_lr_mult: float = 1.0,
-         wide_fov: bool = False):
+         wide_fov: bool = False, distortion_lr_mult: float = 1.0,
+         mult_until: int = 0, add_radial_step: int = -1):
     preflight()
     assert not (from_scratch and not fisheye), \
         "--from_scratch is the fisheye self-calibration protocol"
@@ -237,6 +238,10 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         cfg.camera.add_ie = max(n_steps // 3, 1)
         cfg.camera.add_radial = max(8 * n_steps // 15, 2)
         cfg.camera.add_od = max(11 * n_steps // 15, 3)
+        if add_radial_step >= 0:
+            # Experiment override: unfreeze k earlier/later than the
+            # published proportions (round-4f k-recovery dynamics study).
+            cfg.camera.add_radial = max(add_radial_step, 2)
     if from_scratch:
         # k must traverse from 0 to (-0.12, 0.04). At the default noise
         # scale 1e-2 Adam's ~lr-per-step parameter velocity would need
@@ -249,6 +254,13 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
     # The from-scratch protocol must traverse finite distances in noise
     # units; see docs/calibration_convergence.md round-4b sweep.
     cfg.optim.camera_lrate_mult = camera_lr_mult
+    # k-specific velocity boost (composes with camera mult): |k1|=0.12 is
+    # 12 noise-units even at the raised from-scratch scale 0.1, vs 0.05
+    # units for focal — see docs/calibration_convergence.md round-4f.
+    cfg.optim.distortion_lrate_mult = distortion_lr_mult
+    if mult_until > 0:
+        cfg.optim.camera_lrate_mult_until = mult_until
+        cfg.optim.distortion_lrate_mult_until = mult_until
     cfg.logging.expname = "soak"
     cfg.logging.basedir = workdir
     cfg.logging.i_print = 1000
@@ -341,6 +353,9 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
            if from_scratch else {}),
         "n_rand": cfg.sampling.N_rand,
         "camera_lr_mult": camera_lr_mult,
+        "distortion_lr_mult": distortion_lr_mult,
+        "mult_until": mult_until,
+        "add_radial_at": int(cfg.camera.add_radial) if fisheye else None,
         "wide_fov": bool(wide_fov),
         "scene": "analytic 3-blob field (consistent 3D, scaled into the "
                  "unit fg sphere), black background",
@@ -389,6 +404,15 @@ if __name__ == "__main__":
     ap.add_argument("--wide_fov", action="store_true",
                     help="k-observability scene variant (wider FOV + "
                          "bigger blobs -> content at high radius)")
+    ap.add_argument("--distortion_lr_mult", type=float, default=1.0,
+                    help="extra LR multiplier on distortion_noise only "
+                         "(composes with --camera_lr_mult; round-4f)")
+    ap.add_argument("--mult_until", type=int, default=0,
+                    help="anneal BOTH multipliers to 1.0 after this step "
+                         "(0 = hold)")
+    ap.add_argument("--add_radial_step", type=int, default=-1,
+                    help="override the staged-curriculum add_radial step "
+                         "(-1 = published 8N/15 proportion)")
     a = ap.parse_args()
     if a.cpu:
         import jax
@@ -401,4 +425,6 @@ if __name__ == "__main__":
     main(a.steps, a.out, a.workdir, fisheye=a.fisheye,
          eval_every=a.eval_every, psnr_gate=a.psnr_gate,
          from_scratch=a.from_scratch, small=a.small,
-         camera_lr_mult=a.camera_lr_mult, wide_fov=a.wide_fov)
+         camera_lr_mult=a.camera_lr_mult, wide_fov=a.wide_fov,
+         distortion_lr_mult=a.distortion_lr_mult, mult_until=a.mult_until,
+         add_radial_step=a.add_radial_step)

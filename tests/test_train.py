@@ -165,6 +165,43 @@ class TestEndToEnd:
                 np.array(jax.tree.leaves(ua["coarse"])[0]),
                 np.array(jax.tree.leaves(ur["coarse"])[0]))
 
+    def test_distortion_lr_mult_composes_on_k_only(self):
+        """distortion_lr_mult scales ONLY distortion_noise, multiplying on
+        top of camera_lr_mult (the from-scratch k-velocity fix: |k1| is 12
+        noise-units vs 0.05 for focal, docs/calibration_convergence.md)."""
+        state, _, _ = build()
+        params = state.params
+        grads = jax.tree.map(jnp.ones_like, params)
+
+        def first_update(**kw):
+            tx = make_optimizer(1e-3, 1e9, params_example=params, **kw)
+            upd, _ = tx.update(grads, tx.init(params), params)
+            return upd
+
+        u1 = first_update()
+        u = first_update(camera_lr_mult=2.0, distortion_lr_mult=8.0)
+        np.testing.assert_allclose(
+            np.array(u["camera"].distortion_noise),
+            16.0 * np.array(u1["camera"].distortion_noise), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.array(u["camera"].intrinsics_noise),
+            2.0 * np.array(u1["camera"].intrinsics_noise), rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.array(u["camera"].ray_o_grid), np.array(u1["camera"].ray_o_grid))
+        for a, b in zip(jax.tree.leaves(u1["coarse"]), jax.tree.leaves(u["coarse"])):
+            np.testing.assert_array_equal(np.array(a), np.array(b))
+        # annealed variant returns to the shared LR after the phase
+        tx_a = make_optimizer(1e-3, 1e9, params_example=params,
+                              distortion_lr_mult=8.0, distortion_lr_mult_until=2)
+        tx_r = make_optimizer(1e-3, 1e9, params_example=params)
+        os_a, os_r = tx_a.init(params), tx_r.init(params)
+        for i in range(4):
+            ua, os_a = tx_a.update(grads, os_a, params)
+            ur, os_r = tx_r.update(grads, os_r, params)
+            da = np.array(ua["camera"].distortion_noise)
+            dr = np.array(ur["camera"].distortion_noise)
+            np.testing.assert_allclose(da, (8.0 if i < 2 else 1.0) * dr, rtol=1e-6)
+
     def test_weight_decay_mask_targets_noise_grids(self):
         state, step, batch = build()
         mask = noise_decay_mask(state.params)
