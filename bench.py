@@ -50,6 +50,58 @@ def _cost_extras(compiled, dt: float) -> dict:
         return {}
 
 
+def _timed_rays_per_sec(step_call, state, key, n_rand: int,
+                        k_fuse: int = 25, reps: int = 3):
+    """Dispatch-robust throughput: fuse ``k_fuse`` steps into ONE device
+    dispatch via ``lax.scan`` and take the fastest of ``reps`` timed
+    repetitions. Measured necessity (r4f): during axon tunnel-degradation
+    phases per-dispatch latency inflates from ~0.1 ms to ~8 ms, which a
+    dispatch-per-step host loop reads as a 43% throughput loss on the
+    10 ms fern step (56.8k vs 100.6k rays/s for the SAME executable). The
+    fused scan is throughput-neutral on a healthy tunnel (r3c 'fused
+    K-step dispatch: 0%' A/B), so this measures the device, not the RPC
+    weather. ``step_call(state, key) -> state`` must be jit-traceable.
+
+    Returns ``(rays_per_sec, per_step_seconds)``."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def run(s, k):
+        def body(ss, i):
+            return step_call(ss, jax.random.fold_in(k, i)), None
+
+        return lax.scan(body, s, jnp.arange(k_fuse))[0]
+
+    fused = jax.jit(run)
+    state = fused(state, key)  # compile + warm
+    jax.block_until_ready(state)
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        state = fused(state, jax.random.fold_in(key, 10_000 + r))
+        jax.block_until_ready(state)
+        best = min(best, time.perf_counter() - t0)
+    return n_rand * k_fuse / best, best / k_fuse
+
+
+def _device_roundtrip_ms(reps: int = 10) -> float:
+    """Median host->device->host round trip of a trivial op — the tunnel
+    health indicator to read alongside the throughput numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    one = jnp.ones(())
+    f = jax.jit(lambda x: x + 1.0)
+    f(one).block_until_ready()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        f(one).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    return round(float(np.median(ts)) * 1e3, 3)
+
+
 def _trace_extras(run_steps, dt: float) -> dict:
     """Trace-measured roofline numbers (r3 ground truth): per-trip FLOPs
     incl. remat recompute, HBM bytes, and xprof's per-op bound-by split."""
@@ -100,19 +152,15 @@ def main():
     }
     key = jax.random.key(0)
 
-    # AOT-compile once; the same executable serves the timing loop AND the
-    # cost analysis (no second compile).
+    # AOT-compile the single-step executable for the cost analysis and the
+    # xprof trace; TIMING uses the fused-scan dispatch (_timed_rays_per_sec)
+    # so the number measures the device, not the tunnel RPC weather.
     compiled_step = step.lower(state, batch, key).compile()
     state, _ = compiled_step(state, batch, key)
     jax.block_until_ready(state.params)
 
-    iters = 50
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = compiled_step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
-    train_dt = (time.perf_counter() - t0) / iters
-    train_rays = N_RAND / train_dt
+    train_rays, train_dt = _timed_rays_per_sec(
+        lambda s, k: step(s, batch, k)[0], state, key, N_RAND)
 
     # Render throughput: one 8192-chunked forward over 65536 rays.
     eval_cfg = render_cfg.eval_mode()
@@ -131,11 +179,12 @@ def main():
 
     out = render(state.params, px, py, key)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(3):
+    render_dt = float("inf")
+    for i in range(3):  # min-of-3: one dispatch per ~190 ms call
+        t0 = time.perf_counter()
         out = render(state.params, px, py, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    render_dt = (time.perf_counter() - t0) / 3
+        jax.block_until_ready(out)
+        render_dt = min(render_dt, time.perf_counter() - t0)
     render_rays = n_render / render_dt
 
     # Production-driver path: sampling fused into the compiled step
@@ -150,13 +199,8 @@ def main():
         N_RAND,
     )
     state_ds = create_train_state(_flagship()[2], tx)
-    state_ds, _ = step_ds(state_ds, key)
-    jax.block_until_ready(state_ds.params)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state_ds, _ = step_ds(state_ds, jax.random.fold_in(key, i))
-    jax.block_until_ready(state_ds.params)
-    ds_rays = N_RAND * iters / (time.perf_counter() - t0)
+    ds_rays, _ = _timed_rays_per_sec(
+        lambda s, k: step_ds(s, k)[0], state_ds, key, N_RAND)
 
     # NeRF++ (config-4 workload: T&T fg/bg cascade) throughput, best-effort.
     nerfpp_rays = None
@@ -198,6 +242,7 @@ def main():
         "render_rays_per_sec": round(render_rays, 1),
         "device_sampled_train_rays_per_sec": round(ds_rays, 1),
         "train_step_ms": round(train_dt * 1e3, 2),
+        "device_roundtrip_ms": _device_roundtrip_ms(),
         "baseline_v100_rays_per_sec": V100_RAYS_PER_SEC,
         "target_vs_baseline": 2.0,
     }
@@ -235,7 +280,7 @@ def main():
     )
 
 
-def _fixed_cam_throughput(n_rand: int = 1024, iters: int = 30) -> dict:
+def _fixed_cam_throughput(n_rand: int = 1024) -> dict:
     """BASELINE config 1: vanilla NeRF, Blender-lego 400x400, fixed GT
     cameras — precomputed rays, no camera model in the step."""
     import jax
@@ -262,18 +307,12 @@ def _fixed_cam_throughput(n_rand: int = 1024, iters: int = 30) -> dict:
         "target": jnp.asarray(rng.rand(n_rand, 3).astype(np.float32)),
     }
     key = jax.random.key(1)
-    state, _ = step(state, batch, key)
-    jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, _ = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
-    return {"train_rays_per_sec":
-            round(n_rand * iters / (time.perf_counter() - t0), 1)}
+    rays, _ = _timed_rays_per_sec(
+        lambda s, k: step(s, batch, k)[0], state, key, n_rand)
+    return {"train_rays_per_sec": round(rays, 1)}
 
 
-def _prd_step_throughput(n_rand: int = 1024, n_match: int = 50,
-                         iters: int = 30) -> dict:
+def _prd_step_throughput(n_rand: int = 1024, n_match: int = 50) -> dict:
     """BASELINE config 3: full generic camera (radial distortion + ray
     noise) with the PRD loss IN the step (every step — an upper bound; the
     production cadence is 1/i_ray_dist_loss)."""
@@ -317,18 +356,13 @@ def _prd_step_throughput(n_rand: int = 1024, n_match: int = 50,
         "pair_idx": jnp.asarray([0, 1]),
     }
     key = jax.random.key(2)
-    state, _ = step(state, batch, key)
-    jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, _ = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
-    return {"train_rays_per_sec":
-            round(n_rand * iters / (time.perf_counter() - t0), 1),
+    rays, _ = _timed_rays_per_sec(
+        lambda s, k: step(s, batch, k)[0], state, key, n_rand)
+    return {"train_rays_per_sec": round(rays, 1),
             "note": "PRD every step (production cadence is 1/10)"}
 
 
-def _nerfpp_throughput(n_rand: int = 2048, iters: int = 20,
+def _nerfpp_throughput(n_rand: int = 2048,
                        fisheye: bool = False) -> float:
     """NeRF++ T&T workload: N_rand=2048, cascade 64,64, full camera.
     ``fisheye`` switches the camera to the Distortion variant (radial
@@ -377,16 +411,13 @@ def _nerfpp_throughput(n_rand: int = 2048, iters: int = 20,
         "target": jnp.asarray(rng.rand(n_rand, 3).astype(np.float32)),
         "min_depth": jnp.full((n_rand,), 1e-4),
     }
-    state, _ = step(state, batch, key)
-    jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, _ = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
-    return n_rand * iters / (time.perf_counter() - t0)
+    rays, _ = _timed_rays_per_sec(
+        lambda s, k: step(s, batch, k)[0], state, key, n_rand,
+        k_fuse=15)  # ~37 ms/step: 15 fused steps keep a rep ~0.6 s
+    return rays
 
 
-def _main_with_retry(attempts: int = 3, timeout_s: int = 900) -> int:
+def _main_with_retry(attempts: int = 3, timeout_s: int = 1500) -> int:
     """Run the measurement in a subprocess with a timeout, retrying on a
     hang. The axon TPU tunnel intermittently wedges NEW client sessions at
     setup (threads parked in RPC wait, zero progress — see CLAUDE.md

@@ -137,6 +137,12 @@ class CameraFlags:
     # Distortion-aware PRD (losses/prd.py): off by default — the reference
     # left the undistortion path commented out (ray_dist_loss.py:188-199).
     prd_undistort: bool = False
+    # EXTENSION: keep PRD active on fisheye runs (the reference skips it
+    # because its PRD is distortion-blind, ddp_train_nerf.py:497; with
+    # prd_undistort the projections are mapped through the differentiable
+    # inverse lookup, so correspondences can drive k — the from-scratch
+    # k-recovery recipe, docs/calibration_convergence.md round-4f).
+    prd_on_fisheye: bool = False
     pairing_angle_threshold: float = 30.0
     matcher: str = "precomputed"  # precomputed | sift | superglue
     match_num: int = 1024

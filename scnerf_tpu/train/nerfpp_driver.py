@@ -154,7 +154,10 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
     prd_on = (
         cfg.camera.use_camera
         and cfg.camera.ray_loss_type == "proj_ray_dist"
-        and not cfg.camera.run_fisheye  # reference skips PRD for fisheye runs
+        # The reference skips PRD for fisheye runs (its PRD is
+        # distortion-blind, ddp_train_nerf.py:497); prd_on_fisheye
+        # re-enables it for the distortion-aware variant.
+        and (not cfg.camera.run_fisheye or cfg.camera.prd_on_fisheye)
     )
     step_fn = make_nerfpp_train_step(model_cfg, render_cfg, train_cfg, curriculum,
                                      tx, with_prd=False, donate=False)

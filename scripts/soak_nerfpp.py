@@ -43,27 +43,54 @@ def preflight():
 
 
 def write_exact_matches_opencv(path: str, poses, intrinsics, H: int, W: int,
-                               n_pts: int = 600, min_matches: int = 16) -> int:
+                               n_pts: int = 600, min_matches: int = 16,
+                               scene_scale: float = SCALE,
+                               dist_k=None) -> int:
     """Exact correspondences on the scaled analytic blobs, projected
     through the OPENCV train cameras with the production pixel convention
-    (``px + 0.5 -> K^-1``, so ``px = fx*x/z + cx - 0.5``)."""
+    (``px + 0.5 -> K^-1``, so ``px = fx*x/z + cx - 0.5``).
+
+    ``dist_k``: when given, apply the TRUE radial warp to the projected
+    pixels (the reference's normalized-per-axis model,
+    ``nerf_sample_ray_split.py:227-232``) — matches live in DISTORTED
+    image space, exactly like real SuperGlue keypoints on fisheye
+    captures. Used by the PRD-assisted from-scratch protocol, where the
+    distortion-aware PRD (``camera/distortion.py`` + ``prd_undistort``)
+    must recover k from these coordinates."""
     from _analytic_scene import _CENTERS, _WIDTHS
 
     from scnerf_tpu.matching.provider import PairMatches, PrecomputedMatches
 
     rng = np.random.RandomState(7)
     pts = np.concatenate([
-        c * SCALE + rng.randn(n_pts // len(_CENTERS), 3)
-        * np.sqrt(w / 2.0) * SCALE
+        c * scene_scale + rng.randn(n_pts // len(_CENTERS), 3)
+        * np.sqrt(w / 2.0) * scene_scale
         for c, w in zip(_CENTERS, _WIDTHS)
     ])
 
     def project(c2w, K):
+        import jax.numpy as jnp
+
+        from scnerf_tpu.camera.distortion import undistort_pixels
+
         cam = (pts - c2w[:3, 3]) @ c2w[:3, :3]  # world -> camera (R^T)
         z = cam[:, 2]
-        u = K[0, 0] * cam[:, 0] / np.maximum(z, 1e-6) + K[0, 2] - 0.5
-        v = K[1, 1] * cam[:, 1] / np.maximum(z, 1e-6) + K[1, 2] - 0.5
-        ok = (z > 0.05) & (u >= 1) & (u < W - 2) & (v >= 1) & (v < H - 2)
+        # continuous pinhole coords (the production convention adds the
+        # half-pixel before K^-1, so the stored keypoint is continuous-0.5)
+        u = K[0, 0] * cam[:, 0] / np.maximum(z, 1e-6) + K[0, 2]
+        v = K[1, 1] * cam[:, 1] / np.maximum(z, 1e-6) + K[1, 2]
+        ok = z > 0.05
+        if dist_k is not None:
+            # observed (raw fisheye) pixel = inverse radial warp of the
+            # pinhole projection — same generation as the oracle-tested
+            # examples/distortion_discovery.py rig.
+            valid, xy = undistort_pixels(W, H, jnp.asarray(dist_k, jnp.float32),
+                                         jnp.asarray(u, jnp.float32),
+                                         jnp.asarray(v, jnp.float32))
+            u, v = np.asarray(xy[:, 0], np.float64), np.asarray(xy[:, 1], np.float64)
+            ok = ok & np.asarray(valid)
+        u, v = u - 0.5, v - 0.5
+        ok = ok & (u >= 1) & (u < W - 2) & (v >= 1) & (v < H - 2)
         return np.stack([u, v], -1).astype(np.float32), ok
 
     cache = PrecomputedMatches()
@@ -174,7 +201,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
          psnr_gate: float = 25.0, from_scratch: bool = False,
          small: bool = False, camera_lr_mult: float = 1.0,
          wide_fov: bool = False, distortion_lr_mult: float = 1.0,
-         mult_until: int = 0, add_radial_step: int = -1):
+         mult_until: int = 0, add_radial_step: int = -1,
+         add_ie_step: int = -1, fisheye_prd: bool = False):
     preflight()
     assert not (from_scratch and not fisheye), \
         "--from_scratch is the fisheye self-calibration protocol"
@@ -242,6 +270,18 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             # Experiment override: unfreeze k earlier/later than the
             # published proportions (round-4f k-recovery dynamics study).
             cfg.camera.add_radial = max(add_radial_step, 2)
+        if add_ie_step >= 0:
+            cfg.camera.add_ie = max(add_ie_step, 1)
+        if fisheye_prd:
+            # The from-scratch k-recovery recipe: distortion-aware PRD on
+            # exact matches in DISTORTED pixel space (prd_on_fisheye +
+            # prd_undistort; the reference cannot do this — its PRD is
+            # distortion-blind and fisheye runs skip it).
+            cfg.camera.ray_loss_type = "proj_ray_dist"
+            cfg.camera.prd_on_fisheye = True
+            cfg.camera.prd_undistort = True
+            cfg.camera.add_prd = cfg.camera.add_radial
+            cfg.camera.i_ray_dist_loss = 10
     if from_scratch:
         # k must traverse from 0 to (-0.12, 0.04). At the default noise
         # scale 1e-2 Adam's ~lr-per-step parameter velocity would need
@@ -281,10 +321,28 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             os.path.join(expdir, "matches.npz"), train0.poses,
             train0.intrinsics, train0.H, train0.W)
         print(f"[soak] exact-match cache: {n_pairs} train pairs", flush=True)
+    elif fisheye_prd:
+        # Matches come from the IMAGES, i.e. from the TRUE distorted
+        # cameras (pre-corruption), in raw fisheye pixel coordinates.
+        if true_npz:
+            t = np.load(true_npz)
+            poses0, K0 = t["poses"], np.tile(t["K"], (len(t["poses"]), 1, 1))
+            k_true = t["k"]
+        else:
+            from scnerf_tpu.data.nerfpp_split import load_nerfpp_split
+
+            train0 = load_nerfpp_split(scene, "train")
+            poses0, K0, k_true = train0.poses, train0.intrinsics, np.asarray(dist_k)
+        n_pairs = write_exact_matches_opencv(
+            os.path.join(expdir, "matches.npz"), poses0, K0, H, W,
+            scene_scale=scene_scale, dist_k=k_true)
+        print(f"[soak] exact fisheye-match cache: {n_pairs} train pairs "
+              f"(distorted pixel space, k_true={np.asarray(k_true).tolist()})",
+              flush=True)
 
     t0 = time.perf_counter()
     exp = build_nerfpp_experiment(cfg, expdir)
-    if not fisheye:
+    if not fisheye or fisheye_prd:
         assert exp.match_cache is not None and len(exp.match_cache.pairs()), \
             "PRD match cache empty — the PRD path would be vacuous"
 
@@ -356,6 +414,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "distortion_lr_mult": distortion_lr_mult,
         "mult_until": mult_until,
         "add_radial_at": int(cfg.camera.add_radial) if fisheye else None,
+        "add_ie_at": int(cfg.camera.add_ie),
+        "fisheye_prd": bool(fisheye_prd),
         "wide_fov": bool(wide_fov),
         "scene": "analytic 3-blob field (consistent 3D, scaled into the "
                  "unit fg sphere), black background",
@@ -413,6 +473,13 @@ if __name__ == "__main__":
     ap.add_argument("--add_radial_step", type=int, default=-1,
                     help="override the staged-curriculum add_radial step "
                          "(-1 = published 8N/15 proportion)")
+    ap.add_argument("--add_ie_step", type=int, default=-1,
+                    help="override the staged-curriculum add_ie step "
+                         "(-1 = published N/3 proportion)")
+    ap.add_argument("--fisheye_prd", action="store_true",
+                    help="enable distortion-aware PRD on the fisheye run "
+                         "(exact matches in distorted pixel space; the "
+                         "from-scratch k-recovery recipe)")
     a = ap.parse_args()
     if a.cpu:
         import jax
@@ -427,4 +494,5 @@ if __name__ == "__main__":
          from_scratch=a.from_scratch, small=a.small,
          camera_lr_mult=a.camera_lr_mult, wide_fov=a.wide_fov,
          distortion_lr_mult=a.distortion_lr_mult, mult_until=a.mult_until,
-         add_radial_step=a.add_radial_step)
+         add_radial_step=a.add_radial_step, add_ie_step=a.add_ie_step,
+         fisheye_prd=a.fisheye_prd)

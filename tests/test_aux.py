@@ -326,3 +326,35 @@ class TestAxonWatchdog:
         r = subprocess.run([sys.executable, str(script)], capture_output=True,
                            text=True, timeout=300)
         assert r.returncode == 7
+
+
+class TestBenchTimer:
+    """bench.py's dispatch-robust fused-scan timer (r4f): during axon
+    tunnel-degradation phases per-dispatch latency inflates ~80x and a
+    dispatch-per-step loop misreads device throughput by ~2x; the scan
+    amortizes dispatch over k_fuse steps."""
+
+    def test_fused_timer_matches_host_loop_semantics(self):
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import bench
+
+        def step_call(s, k):
+            return s + jax.random.normal(k, s.shape) * 0.0 + 1.0
+
+        rays, dt = bench._timed_rays_per_sec(
+            step_call, jnp.zeros((4,)), jax.random.key(0), n_rand=16,
+            k_fuse=5, reps=2)
+        assert rays > 0 and dt > 0
+        # rays/sec accounting: n_rand * k_fuse steps per timed rep
+        assert abs(rays * dt - 16.0) < 1e-6
+
+    def test_roundtrip_probe_returns_ms(self):
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import bench
+
+        ms = bench._device_roundtrip_ms(reps=3)
+        assert 0 <= ms < 10_000
