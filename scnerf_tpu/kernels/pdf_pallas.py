@@ -177,11 +177,24 @@ def _kernel_fwd(bins_ref, weights_ref, u_ref, out_ref, inds_ref, *,
     inds_ref[:] = inds
 
 
+def _auto_row_block(S: int, B: int, budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Largest row block whose (rb, S, B) intermediates fit a VMEM budget.
+
+    The kernel materializes ~5 such arrays at 4 bytes each (cmp, b_iota,
+    two one-hots, and a live temporary); at the fixed rb=32 the NeRF++
+    production cascade shape (S=128, B=192) would already cost ~16 MB —
+    the whole VMEM. 6 MB leaves headroom for the (rb, B)/(rb, S) blocks
+    and double-buffering. Floor 8 rows, cap 32 (the validated envelope)."""
+    per_row = 5 * S * B * 4
+    rb = budget_bytes // max(per_row, 1)
+    return int(max(8, min(32, (rb // 8) * 8)))
+
+
 @functools.partial(jax.jit, static_argnames=("variant", "row_block"))
-def _pallas_fwd(bins, weights, u, variant: str, row_block: int = 32):
+def _pallas_fwd(bins, weights, u, variant: str, row_block: int | None = None):
     N, B = bins.shape
     S = u.shape[-1]
-    rb = min(row_block, N)
+    rb = min(row_block or _auto_row_block(S, B), N)
     return pl.pallas_call(
         functools.partial(_kernel_fwd, variant=variant),
         out_shape=(
@@ -225,12 +238,27 @@ def _diff_bwd(variant: str, res, g):
     B = bins.shape[-1]
 
     # Recompute the cheap (N, B) intermediates; the O(N*S*B) search is not
-    # redone — its result (``inds``) was saved from the forward.
+    # redone — its result (``inds``) was saved from the forward. The CDF is
+    # rebuilt with the SAME triangular-matmul formulation (f32 HIGHEST) as
+    # the Pallas forward, NOT jnp.cumsum: near the denominator guard
+    # (denom_raw within an ulp of eps) a differently-rounded CDF would flip
+    # the guard branch and make the VJP inconsistent with the primal it
+    # differentiates.
     w = weights + eps
     wsum = jnp.sum(w, axis=-1, keepdims=True)
     pdf = w / wsum
-    cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    nb = pdf.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    tri = (rows <= cols).astype(pdf.dtype)
+    cdf_inner = jax.lax.dot_general(
+        pdf, tri,
+        dimension_numbers=(((pdf.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(pdf.dtype)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf_inner[..., :1]), cdf_inner],
+                          axis=-1)
 
     if variant == "nerfpp":
         above = jnp.maximum(inds, 1)

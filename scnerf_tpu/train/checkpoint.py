@@ -27,20 +27,45 @@ import orbax.checkpoint as ocp
 from scnerf_tpu.train.step import TrainState
 
 _CKPT_RE = re.compile(r"^ckpt_(\d+)$")
+_OPTIM_META = "optim_meta.json"
 
 
 def _ckpt_path(ckpt_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f"ckpt_{step:09d}")
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, keep: int = 3) -> str:
-    """Save state at its current step; prune old checkpoints to ``keep``."""
+def optim_knobs(cfg) -> dict:
+    """The ExperimentConfig knobs that change the optax chain STRUCTURE
+    (masked scale transforms are appended only when a mult != 1 —
+    ``train/optim.py:make_optimizer``), so an opt-state checkpoint is only
+    restorable when they are replayed exactly. Persisted next to every
+    checkpoint and validated on restore."""
+    o = cfg.optim
+    return {
+        "camera_lrate_mult": float(o.camera_lrate_mult),
+        "camera_lrate_mult_until": int(o.camera_lrate_mult_until),
+        "distortion_lrate_mult": float(o.distortion_lrate_mult),
+        "distortion_lrate_mult_until": int(o.distortion_lrate_mult_until),
+    }
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, keep: int = 3,
+                    optim_meta: dict | None = None) -> str:
+    """Save state at its current step; prune old checkpoints to ``keep``.
+
+    ``optim_meta``: optimizer-structure knobs (:func:`optim_knobs`) written
+    alongside the checkpoints so a resume can validate them."""
     os.makedirs(ckpt_dir, exist_ok=True)
     step = int(state.step)
     path = _ckpt_path(ckpt_dir, step)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
+    if optim_meta is not None:
+        import json
+
+        with open(os.path.join(ckpt_dir, _OPTIM_META), "w") as f:
+            json.dump(optim_meta, f)
     steps = sorted(list_checkpoint_steps(ckpt_dir))
     for s in steps[:-keep]:
         import shutil
@@ -60,11 +85,32 @@ def list_checkpoint_steps(ckpt_dir: str) -> list[int]:
     return sorted(out)
 
 
-def restore_checkpoint(ckpt_dir: str, example: TrainState, step: int | None = None):
-    """Restore latest (or a specific step); None when no checkpoint exists."""
+def restore_checkpoint(ckpt_dir: str, example: TrainState, step: int | None = None,
+                       optim_meta: dict | None = None):
+    """Restore latest (or a specific step); None when no checkpoint exists.
+
+    ``optim_meta``: the restoring experiment's :func:`optim_knobs`. When the
+    checkpoint directory carries a saved meta that disagrees, restoration
+    fails loudly — the optax chain structure would not match and the
+    opt-state pytree restore would be silently wrong or crash downstream
+    (the diag_rot_plateau.py footgun, now impossible to hit silently)."""
     steps = list_checkpoint_steps(ckpt_dir)
     if not steps:
         return None
+    meta_path = os.path.join(os.path.abspath(ckpt_dir), _OPTIM_META)
+    if optim_meta is not None and os.path.exists(meta_path):
+        import json
+
+        saved = json.load(open(meta_path))
+        diff = {k: (saved[k], optim_meta[k]) for k in saved
+                if k in optim_meta and saved[k] != optim_meta[k]}
+        if diff:
+            raise ValueError(
+                f"checkpoint {ckpt_dir} was written with optimizer knobs "
+                f"{saved}, but this experiment uses {optim_meta} "
+                f"(mismatch: {diff}). These knobs change the optax chain "
+                "structure (train/optim.py); replay them exactly — e.g. "
+                "read them back from the expdir's config.json.")
     step = steps[-1] if step is None else step
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(example))

@@ -237,10 +237,13 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
             print(f"[resume] converted reference checkpoint {cfg.optim.ckpt_path} "
                   f"at step {ref['step']}")
         else:
+            from scnerf_tpu.train.checkpoint import optim_knobs
+
             for source in ([cfg.optim.ckpt_path] if cfg.optim.ckpt_path else []) + (
                 [os.path.join(expdir, "ckpts")] if expdir else []
             ):
-                restored = restore_checkpoint(source, state)
+                restored = restore_checkpoint(source, state,
+                                              optim_meta=optim_knobs(cfg))
                 if restored is not None:
                     state = restored
                     print(f"[resume] restored step {int(state.step)} from {source}")
@@ -446,7 +449,9 @@ def train_loop(
             row.update(timer.summary())
             exp.logger.log(step_now, row)
         if ckpt_dir and step_now % cfg.logging.i_weights == 0:
-            save_checkpoint(ckpt_dir, exp.state)
+            from scnerf_tpu.train.checkpoint import optim_knobs
+
+            save_checkpoint(ckpt_dir, exp.state, optim_meta=optim_knobs(cfg))
         if eval_hooks and exp.logger:
             if step_now % cfg.logging.i_testset == 0:
                 res = evaluate_test_views(exp, max_views=2)

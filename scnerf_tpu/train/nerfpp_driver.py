@@ -60,6 +60,17 @@ class NerfPPExperiment:
 
 
 def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfPPExperiment:
+    if cfg.camera.prd_on_fisheye and not (
+            cfg.camera.prd_undistort and cfg.camera.use_distortion):
+        # Distortion-blind PRD against keypoints in distorted fisheye pixel
+        # space yields systematically biased camera gradients — the failure
+        # mode the reference avoids by skipping PRD on fisheye entirely
+        # (ddp_train_nerf.py:497). The only supported fisheye-PRD
+        # combination is the distortion-aware one.
+        raise ValueError(
+            "camera.prd_on_fisheye requires camera.prd_undistort and "
+            "camera.use_distortion (distortion-aware PRD); a distortion-"
+            "blind PRD on fisheye keypoints biases the camera gradients.")
     rng = np.random.RandomState(cfg.logging.seed)
     train = load_nerfpp_split(
         cfg.dataset.datadir, "train",
@@ -317,7 +328,9 @@ def run_nerfpp_training(cfg: ExperimentConfig, expdir: str,
                 "val/fg_depth": colorize_depth(out["fg_depth"]),  # [0,1] rgb
             })
         if step_now % cfg.logging.i_weights == 0:
-            save_checkpoint(ckpt_dir, exp.state)
+            from scnerf_tpu.train.checkpoint import optim_knobs
+
+            save_checkpoint(ckpt_dir, exp.state, optim_meta=optim_knobs(cfg))
         if exp.logger and step_now % cfg.logging.camera_log == 0 and \
                 exp.state.params.get("camera") is not None:
             from scnerf_tpu.camera.model import camera_log_dict, camera_log_images
