@@ -202,7 +202,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
          small: bool = False, camera_lr_mult: float = 1.0,
          wide_fov: bool = False, distortion_lr_mult: float = 1.0,
          mult_until: int = 0, add_radial_step: int = -1,
-         add_ie_step: int = -1, fisheye_prd: bool = False):
+         add_ie_step: int = -1, fisheye_prd: bool = False,
+         add_od_step: int = -1, strong_k: bool = False):
     preflight()
     assert not (from_scratch and not fisheye), \
         "--from_scratch is the fisheye self-calibration protocol"
@@ -210,7 +211,10 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
     datadir = os.path.join(workdir, "data")
     from _analytic_scene import build_nerfpp_scene
 
-    dist_k = (-0.12, 0.04) if fisheye else None
+    # --strong_k: real-fisheye distortion magnitude (|k1| 0.35 vs the default
+    # 0.12; FishEyeNeRF captures are at this order — the default scene's
+    # median distortion displacement is sub-pixel, round-4d analysis).
+    dist_k = ((-0.35, 0.10) if strong_k else (-0.12, 0.04)) if fisheye else None
     H, W = (40, 56) if small else (120, 160)
     # --wide_fov: k-OBSERVABILITY variant — wider FOV + bigger blobs so
     # content reaches high normalized radius (median distortion
@@ -272,6 +276,13 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             cfg.camera.add_radial = max(add_radial_step, 2)
         if add_ie_step >= 0:
             cfg.camera.add_ie = max(add_ie_step, 1)
+        if add_od_step >= 0:
+            # Experiment override: defer (or advance) the per-image OD-grid
+            # unfreeze. Round-4f leg A showed the mult-16 k estimate being
+            # destabilized exactly at the OD unfreeze (k1 -0.010 -> +0.23
+            # between steps 7000 and 7500 with add_od=7333); deferring OD
+            # past the annealed calibration phase isolates that interaction.
+            cfg.camera.add_od = max(add_od_step, 3)
         if fisheye_prd:
             # The from-scratch k-recovery recipe: distortion-aware PRD on
             # exact matches in DISTORTED pixel space (prd_on_fisheye +
@@ -395,19 +406,40 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             k: err0[k] for k in ("rot_err_deg", "trans_err",
                                  "focal_rel_err", "k1_err", "k2_err")}
         quality["camera_err_final"] = errN
-        # gates: every calibration error must shrink, and the discovered
-        # k1 must cover at least half the distance from 0 to the truth.
-        quality["camera_gate_pass"] = bool(
+        # Split gates (round-5, VERDICT r4 weak #3): pose/focal recovery and
+        # radial-k discovery fail for different reasons and are tracked
+        # separately instead of one opaque AND.
+        quality["pose_focal_gate_pass"] = bool(
             errN["rot_err_deg"] < err0["rot_err_deg"]
             and errN["trans_err"] < err0["trans_err"]
-            and errN["focal_rel_err"] < 0.9 * err0["focal_rel_err"]
-            and errN["k1_err"] < 0.5 * err0["k1_err"])
+            and errN["focal_rel_err"] < 0.9 * err0["focal_rel_err"])
+        # k gate: the discovered k1 must land within 25% of the true |k1|
+        # (= the VERDICT's k1_err < 0.03 at the default true k1 = -0.12,
+        # scale-invariant for the --strong_k scene).
+        k1_true = abs(dist_k[0])
+        quality["k_gate_k1_err_max"] = 0.25 * k1_true
+        quality["k_gate_pass"] = bool(errN["k1_err"] < 0.25 * k1_true)
+        if not quality["k_gate_pass"] and not fisheye_prd:
+            # Photometric-only k discovery is timescale-bound at sub-pixel
+            # distortion signal (the landscape is verified exact; the
+            # reference's radial phase alone is 300k steps on captures with
+            # ~10x larger distortion) — docs/calibration_convergence.md
+            # round-4d. The supported from-scratch recipe is the
+            # distortion-aware PRD (--fisheye_prd), gated un-waived.
+            quality["k_gate_waived_reason"] = (
+                "photometric-only k recovery is timescale-bound at this "
+                "distortion scale (docs/calibration_convergence.md "
+                "round-4d); the framework's from-scratch recipe is "
+                "--fisheye_prd (distortion-aware PRD), which this gate "
+                "tracks un-waived")
+        quality["camera_gate_pass"] = bool(
+            quality["pose_focal_gate_pass"] and quality["k_gate_pass"])
     report = {
         "n_steps": n_steps + extra,
         "fisheye": bool(fisheye),
         "from_scratch": bool(from_scratch),
         **({"injected": SCRATCH_NOISE,
-            "true_k": [-0.12, 0.04], "k_init": [0.0, 0.0]}
+            "true_k": list(dist_k), "k_init": [0.0, 0.0]}
            if from_scratch else {}),
         "n_rand": cfg.sampling.N_rand,
         "camera_lr_mult": camera_lr_mult,
@@ -415,8 +447,10 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "mult_until": mult_until,
         "add_radial_at": int(cfg.camera.add_radial) if fisheye else None,
         "add_ie_at": int(cfg.camera.add_ie),
+        "add_od_at": int(cfg.camera.add_od),
         "fisheye_prd": bool(fisheye_prd),
         "wide_fov": bool(wide_fov),
+        "strong_k": bool(strong_k),
         "scene": "analytic 3-blob field (consistent 3D, scaled into the "
                  "unit fg sphere), black background",
         "train_rays_per_sec_incl_compile": round(
@@ -480,6 +514,13 @@ if __name__ == "__main__":
                     help="enable distortion-aware PRD on the fisheye run "
                          "(exact matches in distorted pixel space; the "
                          "from-scratch k-recovery recipe)")
+    ap.add_argument("--add_od_step", type=int, default=-1,
+                    help="override the staged-curriculum add_od step "
+                         "(-1 = published 11N/15 proportion; round-4f leg A "
+                         "showed OD unfreeze destabilizing a mult-16 k)")
+    ap.add_argument("--strong_k", action="store_true",
+                    help="real-fisheye distortion scale (true k1 = -0.35 "
+                         "vs the default -0.12)")
     a = ap.parse_args()
     if a.cpu:
         import jax
@@ -495,4 +536,5 @@ if __name__ == "__main__":
          camera_lr_mult=a.camera_lr_mult, wide_fov=a.wide_fov,
          distortion_lr_mult=a.distortion_lr_mult, mult_until=a.mult_until,
          add_radial_step=a.add_radial_step, add_ie_step=a.add_ie_step,
-         fisheye_prd=a.fisheye_prd)
+         fisheye_prd=a.fisheye_prd, add_od_step=a.add_od_step,
+         strong_k=a.strong_k)
