@@ -104,17 +104,59 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
 def model_parallel_mlp_sharding(mesh: Mesh, params):
     """NamedShardings width-sharding an MLP param pytree over ``model``.
 
-    Hidden (in, out) weight matrices alternate column/row sharding so
-    activations stay sharded through the network (Megatron-style pairs);
-    everything too small to shard is replicated. Returns a pytree of
-    NamedShardings matching ``params``.
+    The production tensor-parallel layout (used by ``__graft_entry__``'s
+    multichip dryrun): hidden ``pts`` layers alternate column/row weight
+    sharding so activations stay width-sharded through Megatron-style
+    pairs — even layers shard the OUT dim (``P(None, model)``, bias
+    sharded with it), odd layers shard the IN dim (``P(model, None)``,
+    bias replicated; XLA inserts the psum over the partial products).
+    Head layers (feature/alpha/views/rgb) get column sharding when their
+    out dim divides, else row sharding when their in dim divides (skip
+    concats make some in dims indivisible), else replicate. Returns a
+    pytree of NamedShardings matching ``params``.
     """
     n_model = mesh.shape[MODEL_AXIS]
+    col_w = NamedSharding(mesh, P(None, MODEL_AXIS))
+    row_w = NamedSharding(mesh, P(MODEL_AXIS, None))
+    col_b = NamedSharding(mesh, P(MODEL_AXIS))
+    rep = NamedSharding(mesh, P())
 
-    def spec_for(path_leaf):
-        w = path_leaf
-        if w.ndim == 2 and w.shape[0] % n_model == 0 and w.shape[1] % n_model == 0:
-            return NamedSharding(mesh, P(None, MODEL_AXIS))
-        return NamedSharding(mesh, P())
+    def layer_spec(layer, prefer: str):
+        w = layer.get("w")
+        if w is None or getattr(w, "ndim", 0) != 2:
+            return {k: rep for k in layer}
+        can_col = w.shape[1] % n_model == 0
+        can_row = w.shape[0] % n_model == 0
+        order = ("col", "row") if prefer == "col" else ("row", "col")
+        for choice in order:
+            if choice == "col" and can_col:
+                return {k: (col_w if k == "w" else
+                            col_b if k == "b" else rep) for k in layer}
+            if choice == "row" and can_row:
+                return {k: (row_w if k == "w" else rep) for k in layer}
+        return {k: rep for k in layer}
 
-    return jax.tree.map(spec_for, params)
+    def is_layer_stack(v):
+        return (isinstance(v, (list, tuple)) and len(v)
+                and all(isinstance(l, dict) and "w" in l for l in v))
+
+    def mlp_spec(node):
+        if not isinstance(node, dict):
+            return jax.tree.map(lambda _: rep, node)
+        out = {}
+        for k, v in node.items():
+            if is_layer_stack(v):  # hidden stacks: NeRF "pts", NeRF++ "base"
+                out[k] = type(v)(
+                    layer_spec(l, "col" if i % 2 == 0 else "row")
+                    for i, l in enumerate(v))
+            elif isinstance(v, dict) and "w" in v:
+                out[k] = layer_spec(v, "col")
+            elif isinstance(v, dict):  # nested nets: NeRF++ "fg"/"bg"
+                out[k] = mlp_spec(v)
+            else:
+                out[k] = jax.tree.map(lambda _: rep, v)
+        return out
+
+    if isinstance(params, (list, tuple)) and not is_layer_stack(params):
+        return type(params)(mlp_spec(x) for x in params)  # e.g. "levels"
+    return mlp_spec(params)

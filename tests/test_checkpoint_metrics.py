@@ -93,6 +93,28 @@ class TestCheckpoint:
         state, _, _ = self._make()
         assert restore_checkpoint(str(tmp_path / "nope"), state) is None
 
+    @pytest.mark.slow
+    def test_optim_meta_validated_on_restore(self, tmp_path):
+        """Optimizer-structure knobs are persisted with the checkpoint and
+        a mismatched resume fails loudly (the knobs change the optax chain
+        structure — train/optim.py; replaying them wrong used to corrupt
+        the opt-state restore silently)."""
+        state, step, batch = self._make()
+        state, _ = step(state, batch, jax.random.key(0))
+        meta = {"camera_lrate_mult": 8.0, "camera_lrate_mult_until": 5000,
+                "distortion_lrate_mult": 1.0,
+                "distortion_lrate_mult_until": 0}
+        save_checkpoint(str(tmp_path), state, optim_meta=meta)
+        # matching knobs restore fine
+        r = restore_checkpoint(str(tmp_path), state, optim_meta=dict(meta))
+        assert int(r.step) == int(state.step)
+        # no knobs passed -> unvalidated restore still works (old callers)
+        assert restore_checkpoint(str(tmp_path), state) is not None
+        # mismatched knobs raise
+        with pytest.raises(ValueError, match="optimizer knobs"):
+            restore_checkpoint(str(tmp_path), state,
+                               optim_meta=dict(meta, camera_lrate_mult=1.0))
+
     def test_merge_states_shape_guard(self):
         state, _, _ = self._make()
         other = jax.tree.map(lambda x: x + 1.0, state)

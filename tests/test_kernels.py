@@ -160,6 +160,21 @@ class TestPdfPallasDiff:
             assert abs(fd - g[i, j]) < 5e-2 * max(1.0, abs(fd)), (i, j, fd, g[i, j])
 
 
+class TestAutoRowBlock:
+    def test_vmem_budget_sizing(self):
+        """row_block shrinks with the (S, B) footprint: the production
+        NeRF++ cascade shape (S=128, B=192) must not claim the fixed 32
+        rows that fit the small shapes (5 arrays x rb*S*B*4 bytes)."""
+        from scnerf_tpu.kernels.pdf_pallas import _auto_row_block
+
+        assert _auto_row_block(64, 64) == 32
+        big = _auto_row_block(128, 192)
+        assert 8 <= big < 32
+        assert 5 * big * 128 * 192 * 4 <= 6 * 1024 * 1024
+        assert _auto_row_block(1024, 1024) == 8  # floor
+        assert _auto_row_block(128, 192) % 8 == 0
+
+
 class TestFusedMlpPallas:
     @pytest.mark.slow
     def test_matches_xla_forward(self):
