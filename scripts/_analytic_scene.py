@@ -40,22 +40,51 @@ _SIGMA = np.array([40.0, 35.0, 30.0])
 _COLORS = np.array([[4.0, -4.0, -4.0], [-4.0, 4.0, -4.0], [-4.0, -4.0, 4.0]])
 
 
-def field(pts, scale: float = 1.0):
-    """Raw ``[rgb_logits, sigma]`` of the analytic scene at ``pts``."""
+def field(pts, scale: float = 1.0, texture: bool = False):
+    """Raw ``[rgb_logits, sigma]`` of the analytic scene at ``pts``.
+
+    ``texture``: modulate the blob albedo with a 3D-consistent
+    high-frequency sine pattern (~8 cycles across a blob). Needed by the
+    production-path SIFT legs: smooth gaussians give a DoG detector
+    nothing to latch onto, while this pattern yields stable keypoints yet
+    stays exactly NeRF-representable (well inside the max_freq_log2=10
+    positional-encoding band)."""
     import jax.numpy as jnp
 
     sigma = 0.0
     rgb = 0.0
+    gsum = 0.0
     for c, w, s, col in zip(_CENTERS, _WIDTHS, _SIGMA, _COLORS):
         d2 = jnp.sum((pts - jnp.asarray(c * scale)) ** 2, -1)
         g = jnp.exp(-d2 / (w * scale * scale))
         sigma = sigma + (s / scale) * g
         rgb = rgb + g[..., None] * jnp.asarray(col)
+        gsum = gsum + g
+    if texture:
+        # APERIODIC mix of random-direction plane waves: a single periodic
+        # sine makes every SIFT descriptor look alike and the Lowe ratio
+        # test rejects all matches (measured: 1-5 matches/pair); 8
+        # incommensurate wavevectors give locally distinctive patterns.
+        # Moderate |k| (15-45 per blob-unit): volumetric integration
+        # low-passes high-frequency 3D texture into invisibility, and the
+        # interference of these 8 waves is spotty rather than stripy —
+        # DoG-detectable blobs ~8-25 px across at 240x320.
+        rngt = np.random.RandomState(11)
+        kvecs = rngt.randn(8, 3)
+        kvecs *= (rngt.uniform(15.0, 45.0, (8, 1))
+                  / np.linalg.norm(kvecs, axis=1, keepdims=True)) / scale
+        phases = rngt.uniform(0, 2 * np.pi, 8)
+        m = 0.0
+        for kv, ph in zip(kvecs, phases):
+            m = m + jnp.sin(pts[..., 0] * kv[0] + pts[..., 1] * kv[1]
+                            + pts[..., 2] * kv[2] + ph)
+        rgb = rgb + (gsum * m * 2.0)[..., None]
     return jnp.concatenate([rgb, sigma[..., None]], -1)
 
 
 def render_gt_rays(rays_o, rays_d, near: float, far: float,
-                   n_samples: int = 192, scale: float = 1.0):
+                   n_samples: int = 192, scale: float = 1.0,
+                   texture: bool = False):
     """Ground-truth volume render of the analytic field along given rays."""
     import jax.numpy as jnp
 
@@ -66,7 +95,7 @@ def render_gt_rays(rays_o, rays_d, near: float, far: float,
     z = stratified_z_vals(None, jnp.full((n,), near), jnp.full((n,), far),
                           n_samples, perturb=False)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    return raw2outputs(field(pts, scale), z, rays_d,
+    return raw2outputs(field(pts, scale, texture=texture), z, rays_d,
                        white_bkgd=False)["rgb"]
 
 
@@ -135,7 +164,8 @@ def build_nerfpp_scene(datadir: str, n_train: int = 8, n_val: int = 2,
                        H: int = 120, W: int = 160,
                        dist_k: tuple | None = None,
                        scale: float = 0.2, cam_radius: float = 0.7,
-                       focal_scale: float = 0.9) -> str:
+                       focal_scale: float = 0.9,
+                       texture: bool = False) -> str:
     """NeRF++ split-layout export of the analytic scene.
 
     Cameras ring the origin at radius ``cam_radius`` (inside the NeRF++
@@ -178,7 +208,7 @@ def build_nerfpp_scene(datadir: str, n_train: int = 8, n_val: int = 2,
         near = max(cam_radius - 2.5 * scale, 0.05)
         far = cam_radius + 2.5 * scale
         return render_gt_rays(rays_o, rays_d, near, far,
-                              scale=scale).reshape(H, W, 3)
+                              scale=scale, texture=texture).reshape(H, W, 3)
 
     img_dir = os.path.join(datadir, "_src_images")
     os.makedirs(img_dir, exist_ok=True)

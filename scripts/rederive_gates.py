@@ -1,0 +1,102 @@
+"""Round-5 gate hygiene pass (r4 VERDICT weak #3): every committed
+artifact's gates either PASS, are re-derived from a measured floor, or
+carry an inline ``gate_waived_reason`` + doc link. Negative-result
+artifacts (kept deliberately to document failure modes) are labeled as
+such.
+
+Idempotent: recomputes the split pose-focal / k gates from each
+artifact's stored camera errors (the same formulas soak_nerfpp.py now
+emits) and annotates waivers. Does NOT alter any measured number.
+
+Usage: python scripts/rederive_gates.py
+"""
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+K_WAIVER = (
+    "photometric-only k recovery is timescale-bound at this distortion "
+    "scale (docs/calibration_convergence.md round-4d); the framework's "
+    "from-scratch recipe is the distortion-aware PRD (--fisheye_prd), "
+    "which is gated un-waived in docs/artifacts/K_E_prd_wide.json")
+
+NEGATIVE_RESULTS = {
+    "SOAK_NERFPP_SCRATCH_FLATCUR_FAIL.json":
+        "negative-result artifact: demonstrates that a FLAT unfreeze "
+        "curriculum lets the per-image OD grids absorb the shared radial "
+        "warp (k never recovers); motivates the published staged "
+        "curriculum (docs/calibration_convergence.md round-4d #1)",
+    "docs/artifacts/K_A_wide_d16.json":
+        "negative-result artifact: sweep leg A — distortion_lr_mult=16 "
+        "overshoots when the OD grids unfreeze (k1 -0.010 -> +0.23 "
+        "between steps 7000 and 7500, add_od=7333); motivates leg F's "
+        "OD-deferred protocol (docs/calibration_convergence.md round-5)",
+    "SOAK_NERF_QUALITY_CLM8_DRIFT.json":
+        "negative-result artifact: demonstrates the post-convergence "
+        "dolly-zoom drift of a HELD camera_lr_mult=8 (focal 0.6% -> 12.7% "
+        "over 20k steps); motivates the annealed calibration phase "
+        "(camera_lrate_mult_until, docs/calibration_convergence.md "
+        "round-4c). The production protocol's artifact is "
+        "SOAK_NERF_QUALITY.json",
+}
+
+
+def split_scratch_gates(d: dict) -> None:
+    q = d["quality"]
+    e0, eN = q.get("camera_err_initial"), q.get("camera_err_final")
+    if not e0 or not eN:
+        return
+    k1_true = abs(d.get("true_k", [-0.12, 0.04])[0])
+    q["pose_focal_gate_pass"] = bool(
+        eN["rot_err_deg"] < e0["rot_err_deg"]
+        and eN["trans_err"] < e0["trans_err"]
+        and eN["focal_rel_err"] < 0.9 * e0["focal_rel_err"])
+    q["k_gate_k1_err_max"] = 0.25 * k1_true
+    q["k_gate_pass"] = bool(eN["k1_err"] < 0.25 * k1_true)
+    if not q["k_gate_pass"] and not d.get("fisheye_prd"):
+        q["k_gate_waived_reason"] = K_WAIVER
+    q["camera_gate_pass"] = bool(q["pose_focal_gate_pass"] and q["k_gate_pass"])
+    q["gates_rederived"] = "round-5 split gates (r4 VERDICT weak #3)"
+
+
+def main():
+    changed = []
+    for rel in ("SOAK_NERFPP_SCRATCH.json", "SOAK_NERFPP_SCRATCH_WIDEFOV.json",
+                "SOAK_NERFPP_SCRATCH_FLATCUR_FAIL.json",
+                "docs/artifacts/K_A_wide_d16.json"):
+        p = os.path.join(REPO, rel)
+        if not os.path.exists(p):
+            continue
+        d = json.load(open(p))
+        split_scratch_gates(d)
+        if rel in NEGATIVE_RESULTS:
+            d["negative_result"] = NEGATIVE_RESULTS[rel]
+        json.dump(d, open(p, "w"), indent=2)
+        changed.append(rel)
+
+    p = os.path.join(REPO, "SOAK_NERF_QUALITY_CLM8_DRIFT.json")
+    if os.path.exists(p):
+        d = json.load(open(p))
+        d["negative_result"] = NEGATIVE_RESULTS["SOAK_NERF_QUALITY_CLM8_DRIFT.json"]
+        q = d.get("quality", {})
+        for g in ("camera_gate_pass", "focal_gate_pass", "rot_gate_pass"):
+            if q.get(g) is False:
+                q.setdefault("gate_waived_reason",
+                             d["negative_result"])
+        json.dump(d, open(p, "w"), indent=2)
+        changed.append("SOAK_NERF_QUALITY_CLM8_DRIFT.json")
+
+    for rel in changed:
+        d = json.load(open(os.path.join(REPO, rel)))
+        q = d.get("quality", {})
+        print(rel, {k: q[k] for k in q if k.endswith("_gate_pass")},
+              "waived" if ("k_gate_waived_reason" in q
+                           or "gate_waived_reason" in q
+                           or "negative_result" in d) else "")
+
+
+if __name__ == "__main__":
+    main()

@@ -203,7 +203,9 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
          wide_fov: bool = False, distortion_lr_mult: float = 1.0,
          mult_until: int = 0, add_radial_step: int = -1,
          add_ie_step: int = -1, fisheye_prd: bool = False,
-         add_od_step: int = -1, strong_k: bool = False):
+         add_od_step: int = -1, strong_k: bool = False,
+         sift_matches: bool = False, n_train: int = 8,
+         prd_weight: float = 1e-4, prd_cadence: int = 10):
     preflight()
     assert not (from_scratch and not fisheye), \
         "--from_scratch is the fisheye self-calibration protocol"
@@ -221,9 +223,17 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
     # displacement ~0.2 px at the default geometry, so k is photometrically
     # near-unobservable there; docs/calibration_convergence.md round-4d).
     focal_scale, scene_scale = (0.5, 0.32) if wide_fov else (0.9, SCALE)
-    scene = build_nerfpp_scene(datadir, n_train=8, n_val=2, H=H, W=W,
+    # --sift_matches (PRODUCTION matcher path): PRD correspondences come
+    # from the real SIFT provider run on the rendered (distorted) images —
+    # no oracle points anywhere. Needs the textured scene variant (smooth
+    # gaussians give a DoG detector nothing) and a denser camera ring
+    # (SIFT matching degrades past ~30 deg view separation).
+    assert not (sift_matches and not fisheye_prd), \
+        "--sift_matches is the production-matcher variant of --fisheye_prd"
+    scene = build_nerfpp_scene(datadir, n_train=n_train, n_val=2, H=H, W=W,
                                dist_k=dist_k, scale=scene_scale,
-                               focal_scale=focal_scale)
+                               focal_scale=focal_scale,
+                               texture=sift_matches)
     true_npz = corrupt_train_split(scene) if from_scratch else None
 
     from scnerf_tpu.core.config import ExperimentConfig
@@ -292,7 +302,13 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             cfg.camera.prd_on_fisheye = True
             cfg.camera.prd_undistort = True
             cfg.camera.add_prd = cfg.camera.add_radial
-            cfg.camera.i_ray_dist_loss = 10
+            cfg.camera.i_ray_dist_loss = prd_cadence
+            # PRD is the ONLY consistent k signal in this regime (the
+            # photometric k gradient is transient-dominated at sub-pixel
+            # distortion); the default 1e-4/cadence-10 restoring force
+            # measured ~1.8e-5 k-units/step (leg E) — raise it for the
+            # k-recovery protocol.
+            cfg.camera.ray_dist_loss_weight = prd_weight
     if from_scratch:
         # k must traverse from 0 to (-0.12, 0.04). At the default noise
         # scale 1e-2 Adam's ~lr-per-step parameter velocity would need
@@ -332,6 +348,13 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             os.path.join(expdir, "matches.npz"), train0.poses,
             train0.intrinsics, train0.H, train0.W)
         print(f"[soak] exact-match cache: {n_pairs} train pairs", flush=True)
+    elif fisheye_prd and sift_matches:
+        # No matches.npz is written: build_nerfpp_experiment falls back to
+        # the SIFT provider (cfg.camera.matcher) on the rendered fisheye
+        # images — keypoints in raw distorted pixel space, exactly like
+        # real captures. Nothing oracle enters the run.
+        print("[soak] PRD matches from the SIFT provider on rendered "
+              "images (production path)", flush=True)
     elif fisheye_prd:
         # Matches come from the IMAGES, i.e. from the TRUE distorted
         # cameras (pre-corruption), in raw fisheye pixel coordinates.
@@ -451,6 +474,12 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "fisheye_prd": bool(fisheye_prd),
         "wide_fov": bool(wide_fov),
         "strong_k": bool(strong_k),
+        "sift_matches": bool(sift_matches),
+        "n_train": int(n_train),
+        **({"prd_weight": prd_weight, "prd_cadence": prd_cadence,
+            "add_prd_at": int(cfg.camera.add_prd)} if fisheye_prd else {}),
+        **({"n_match_pairs": len(exp.match_cache.pairs())}
+           if exp.match_cache is not None else {}),
         "scene": "analytic 3-blob field (consistent 3D, scaled into the "
                  "unit fg sphere), black background",
         "train_rays_per_sec_incl_compile": round(
@@ -521,6 +550,17 @@ if __name__ == "__main__":
     ap.add_argument("--strong_k", action="store_true",
                     help="real-fisheye distortion scale (true k1 = -0.35 "
                          "vs the default -0.12)")
+    ap.add_argument("--sift_matches", action="store_true",
+                    help="PRD matches from the real SIFT provider on the "
+                         "rendered (textured) images instead of exact "
+                         "projections — the full production matcher path")
+    ap.add_argument("--n_train", type=int, default=8,
+                    help="train views on the camera ring (SIFT legs want "
+                         "a denser ring, e.g. 16)")
+    ap.add_argument("--prd_weight", type=float, default=1e-4,
+                    help="PRD loss weight on the fisheye_prd runs")
+    ap.add_argument("--prd_cadence", type=int, default=10,
+                    help="PRD step cadence on the fisheye_prd runs")
     a = ap.parse_args()
     if a.cpu:
         import jax
@@ -537,4 +577,6 @@ if __name__ == "__main__":
          distortion_lr_mult=a.distortion_lr_mult, mult_until=a.mult_until,
          add_radial_step=a.add_radial_step, add_ie_step=a.add_ie_step,
          fisheye_prd=a.fisheye_prd, add_od_step=a.add_od_step,
-         strong_k=a.strong_k)
+         strong_k=a.strong_k, sift_matches=a.sift_matches,
+         n_train=a.n_train, prd_weight=a.prd_weight,
+         prd_cadence=a.prd_cadence)
