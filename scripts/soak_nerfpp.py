@@ -205,7 +205,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
          add_ie_step: int = -1, fisheye_prd: bool = False,
          add_od_step: int = -1, strong_k: bool = False,
          sift_matches: bool = False, n_train: int = 8,
-         prd_weight: float = 1e-4, prd_cadence: int = 10):
+         prd_weight: float = 1e-4, prd_cadence: int = 10,
+         hires: bool = False):
     preflight()
     assert not (from_scratch and not fisheye), \
         "--from_scratch is the fisheye self-calibration protocol"
@@ -217,7 +218,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
     # 0.12; FishEyeNeRF captures are at this order — the default scene's
     # median distortion displacement is sub-pixel, round-4d analysis).
     dist_k = ((-0.35, 0.10) if strong_k else (-0.12, 0.04)) if fisheye else None
-    H, W = (40, 56) if small else (120, 160)
+    H, W = (40, 56) if small else ((240, 320) if hires else (120, 160))
     # --wide_fov: k-OBSERVABILITY variant — wider FOV + bigger blobs so
     # content reaches high normalized radius (median distortion
     # displacement ~0.2 px at the default geometry, so k is photometrically
@@ -561,6 +562,9 @@ if __name__ == "__main__":
                     help="PRD loss weight on the fisheye_prd runs")
     ap.add_argument("--prd_cadence", type=int, default=10,
                     help="PRD step cadence on the fisheye_prd runs")
+    ap.add_argument("--hires", action="store_true",
+                    help="240x320 images (SIFT legs: keypoint density "
+                         "needs the resolution; step cost is N_rand-bound)")
     a = ap.parse_args()
     if a.cpu:
         import jax
@@ -579,4 +583,4 @@ if __name__ == "__main__":
          fisheye_prd=a.fisheye_prd, add_od_step=a.add_od_step,
          strong_k=a.strong_k, sift_matches=a.sift_matches,
          n_train=a.n_train, prd_weight=a.prd_weight,
-         prd_cadence=a.prd_cadence)
+         prd_cadence=a.prd_cadence, hires=a.hires)

@@ -390,3 +390,35 @@ class TestFullShapeNerfPPParity:
 
     def test_trajectory_tracks(self, fullshape_nerfpp_report):
         assert fullshape_nerfpp_report["loss_rel_diff"]["max"] < 2e-2
+
+
+@pytest.fixture(scope="module")
+def fullshape_nerfpp_prd_report(tmp_path_factory):
+    """PRD regime at the production compute shape (round-5; full evidence
+    is the 60-step PARITY_TRAJ_FULLSHAPE_NERFPP_PRD.json: 0.0012 dB)."""
+    if not os.path.exists(REF):
+        pytest.skip("reference checkout not mounted")
+    pytest.importorskip("torch")
+    import scripts.ref_parity_nerfpp as rpp
+    from scripts.ref_parity_fullshape_nerfpp import configure_fullshape
+
+    saved = {k: getattr(rpp, k) for k in
+             ("CASCADE", "MLP", "REF_TIMEOUT", "SHAPE_OVERRIDE")}
+    workdir = str(tmp_path_factory.mktemp("ref_parity_fullshape_nerfpp_prd"))
+    try:
+        configure_fullshape()
+        report = rpp.main(n_steps=3, out_json=None, workdir=workdir,
+                          prd=True)
+    finally:
+        for k, v in saved.items():
+            setattr(rpp, k, v)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return report
+
+
+class TestFullShapeNerfPPPrdParity:
+    def test_step0_loss_matches(self, fullshape_nerfpp_prd_report):
+        assert fullshape_nerfpp_prd_report["loss_rel_diff"]["step0"] < 1e-4
+
+    def test_trajectory_tracks(self, fullshape_nerfpp_prd_report):
+        assert fullshape_nerfpp_prd_report["loss_rel_diff"]["max"] < 2e-2
