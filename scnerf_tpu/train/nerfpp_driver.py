@@ -183,6 +183,16 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
     if prd_on:
         pairs = image_pair_candidates(train.poses, cfg.camera.pairing_angle_threshold)
         pair_list = flatten_pairs(pairs)
+        if len(pair_list) == 0:
+            # use_prd gates on this list: with zero candidates the PRD step
+            # silently never dispatches even though prd_on is True (the
+            # reference would likewise find no feasible pair,
+            # reprojection.py image_pair_candidates — but loudly knowing it
+            # beats a vacuous run; this cost two TPU soak legs in r5).
+            print("[nerfpp] WARNING: PRD enabled but image_pair_candidates "
+                  f"found 0 pairs at pairing_angle_threshold="
+                  f"{cfg.camera.pairing_angle_threshold} deg — the PRD loss "
+                  "will never fire", flush=True)
         cache_path = os.path.join(expdir, "matches.npz") if expdir else None
         if cache_path and os.path.exists(cache_path):
             match_cache = PrecomputedMatches(cache_path)

@@ -258,6 +258,14 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         cfg.model.multires_views = 2
     cfg.camera.camera_model = "pinhole_rot_noise_10k_rayo_rayd"
     cfg.camera.matcher = "sift"
+    # The analytic rig's 8-view ring spaces adjacent views ~36 deg apart,
+    # ABOVE the reference's 30-deg pairing default — with 30 the PRD pair
+    # list is EMPTY and the PRD step silently never dispatches (found r5:
+    # legs E/G ran with fisheye_prd vacuously off; the old assert checked
+    # the match CACHE, which is written for all C(n,2) pairs, not the
+    # pair list that actually gates dispatch). 45 admits exactly the
+    # adjacent-ring pairs; --n_train >= 12 brings spacing back under 30.
+    cfg.camera.pairing_angle_threshold = 45.0
     cfg.camera.ray_loss_type = "proj_ray_dist"
     cfg.camera.add_ie = 0
     cfg.camera.add_od = 1000
@@ -306,9 +314,9 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             cfg.camera.i_ray_dist_loss = prd_cadence
             # PRD is the ONLY consistent k signal in this regime (the
             # photometric k gradient is transient-dominated at sub-pixel
-            # distortion); the default 1e-4/cadence-10 restoring force
-            # measured ~1.8e-5 k-units/step (leg E) — raise it for the
-            # k-recovery protocol.
+            # distortion; K_G_vacuousprd_control.json: photometric-only k
+            # parks wrong-sign and never moves) — the k-recovery protocol
+            # raises weight/cadence above the reference defaults.
             cfg.camera.ray_dist_loss_weight = prd_weight
     if from_scratch:
         # k must traverse from 0 to (-0.12, 0.04). At the default noise
@@ -380,6 +388,16 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
     if not fisheye or fisheye_prd:
         assert exp.match_cache is not None and len(exp.match_cache.pairs()), \
             "PRD match cache empty — the PRD path would be vacuous"
+        # Guard the GATING quantity, not just the cache: use_prd requires a
+        # non-empty pair candidate list AND a cache hit for sampled pairs.
+        assert exp.pair_list is not None and len(exp.pair_list), (
+            "PRD pair list empty (pairing_angle_threshold too tight for "
+            "this rig) — PRD steps would silently never dispatch")
+        n_hit = sum(1 for i, j in exp.pair_list
+                    if exp.match_cache.get(int(i), int(j)) is not None)
+        assert n_hit > 0, "no pair-list pair has cached matches"
+        print(f"[soak] PRD dispatch check: {len(exp.pair_list)} candidate "
+              f"pairs, {n_hit} with matches", flush=True)
 
     curve = []
 

@@ -4,11 +4,14 @@ SuperGlue weights aren't shipped in CI images, so the SuperGlueMatcher's
 tensor plumbing is pinned against a mock ``models.matching.Matching``
 (round-1 VERDICT weak item 7); SIFT runs for real via cv2.
 """
+import os
 import sys
 import types
 
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from scnerf_tpu.matching.provider import (
     PairMatches,
@@ -164,3 +167,44 @@ class TestHFSuperGlue:
         assert isinstance(matcher_from_config(CameraConfig(matcher="sift")),
                           SIFTMatcher)
         assert matcher_from_config(CameraConfig(matcher="precomputed")) is None
+
+
+class TestPairCandidateGating:
+    """r5 regression: PRD dispatch gates on image_pair_candidates, and a
+    too-tight angle threshold silently disables PRD (two TPU soak legs ran
+    with fisheye_prd vacuously off — the 8-view analytic ring spaces
+    adjacent views ~36 deg, above the 30-deg reference default)."""
+
+    def _ring_poses(self, n_train=8, n_total=10):
+        # The soak rig's camera ring (scripts/_analytic_scene.py cam_pos):
+        # n_train of n_total views at 2*pi*i/n_total, look-at the origin.
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from _analytic_scene import _look_at_c2w_opencv
+
+        poses = []
+        for i in range(n_train):
+            ang = 2 * np.pi * i / n_total
+            pos = 2.2 * np.array([np.cos(ang), np.sin(ang),
+                                  0.35 + 0.1 * np.sin(2 * ang)])
+            poses.append(_look_at_c2w_opencv(pos))
+        return np.stack(poses)
+
+    def test_soak_rig_needs_wider_threshold(self):
+        from scnerf_tpu.matching.pairs import (
+            flatten_pairs,
+            image_pair_candidates,
+        )
+
+        poses = self._ring_poses()
+        # The hazard: the reference's 30-deg default finds NO pairs here.
+        assert len(flatten_pairs(image_pair_candidates(poses, 30.0))) == 0
+        # The soak's pinned threshold admits the adjacent-ring pairs.
+        got = flatten_pairs(image_pair_candidates(poses, 45.0))
+        assert len(got) >= 6, got
+
+    def test_driver_warns_on_empty_pair_list(self):
+        # build_nerfpp_experiment must say so loudly when PRD is enabled
+        # but no pair passes the threshold (use_prd would never fire).
+        src = open(os.path.join(
+            REPO, "scnerf_tpu", "train", "nerfpp_driver.py")).read()
+        assert "PRD enabled but image_pair_candidates" in src
