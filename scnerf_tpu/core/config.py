@@ -134,6 +134,12 @@ class CameraFlags:
     i_ray_dist_loss: int = 10
     ray_dist_loss_weight: float = 1e-4
     proj_ray_dist_threshold: float = 5.0
+    # Calibration-phase anneal of the PRD protocol (train/curriculum.py
+    # prd_active/prd_cadence_at): when prd_anneal_until > 0, at that step
+    # the weight/cadence return to the *_after values (published protocol).
+    prd_anneal_until: int = 0
+    ray_dist_loss_weight_after: float = 1e-4
+    i_ray_dist_loss_after: int = 10
     # Distortion-aware PRD (losses/prd.py): off by default — the reference
     # left the undistortion path commented out (ray_dist_loss.py:188-199).
     prd_undistort: bool = False

@@ -34,6 +34,20 @@ class Curriculum:
     # PRD loss cadence + weight (run_nerf.py:508; config_argparse.py:119-128).
     i_ray_dist_loss: int = static_field(default=10)
     ray_dist_loss_weight: float = static_field(default=1e-4)
+    # Calibration-phase anneal for the PRD protocol itself: from-scratch
+    # k-recovery raises weight/cadence above the published values, and —
+    # exactly like the camera-LR mults (optim.camera_lrate_mult_until) —
+    # the boost must END once the camera has converged, or the hot PRD
+    # keeps pushing k along the rot↔k degenerate valley past truth
+    # (measured: K_J_annealed_horizon.json, k1 exact at step 7500 then
+    # monotone overshoot to err 0.03 by 10k while rot degrades 0.6→0.78°).
+    # At step >= prd_anneal_until the weight drops to
+    # ray_dist_loss_weight_after and the host cadence switches to
+    # i_ray_dist_loss_after (both default to the published protocol's
+    # values when annealing is enabled; 0 = no anneal, reference-exact).
+    prd_anneal_until: int = static_field(default=0)
+    ray_dist_loss_weight_after: float = static_field(default=1e-4)
+    i_ray_dist_loss_after: int = static_field(default=10)
 
 
 def mask_camera_grads(grads: Camera, step, cur: Curriculum) -> Camera:
@@ -61,4 +75,18 @@ def mask_tree_camera_grads(grads, step, cur: Curriculum):
 
 def prd_active(step, cur: Curriculum):
     """Whether the PRD loss contributes at ``step`` (scaled by its weight)."""
-    return (step >= cur.add_prd).astype(jnp.float32) * cur.ray_dist_loss_weight
+    w = cur.ray_dist_loss_weight
+    if cur.prd_anneal_until > 0:
+        # Static thresholds/values -> a single compiled step serves both
+        # phases (same trick as the grad masks above).
+        w = jnp.where(step < cur.prd_anneal_until, w,
+                      cur.ray_dist_loss_weight_after)
+    return (step >= cur.add_prd).astype(jnp.float32) * w
+
+
+def prd_cadence_at(it: int, cur: Curriculum) -> int:
+    """Host-loop PRD dispatch cadence at iteration ``it`` (the cadence is a
+    host-side dispatch decision, not part of the compiled step)."""
+    if cur.prd_anneal_until > 0 and it >= cur.prd_anneal_until:
+        return max(int(cur.i_ray_dist_loss_after), 1)
+    return max(int(cur.i_ray_dist_loss), 1)

@@ -46,7 +46,7 @@ from scnerf_tpu.matching.provider import (
 from scnerf_tpu.metrics.ssim import ssim
 from scnerf_tpu.render.renderer import RenderConfig, render_chunked
 from scnerf_tpu.train.checkpoint import save_checkpoint
-from scnerf_tpu.train.curriculum import Curriculum
+from scnerf_tpu.train.curriculum import Curriculum, prd_cadence_at
 from scnerf_tpu.train.logging_utils import MetricLogger
 from scnerf_tpu.train.optim import make_optimizer
 from scnerf_tpu.train.step import (
@@ -167,6 +167,9 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         add_radial=cfg.camera.add_radial, add_prd=cfg.camera.add_prd,
         i_ray_dist_loss=cfg.camera.i_ray_dist_loss,
         ray_dist_loss_weight=cfg.camera.ray_dist_loss_weight,
+        prd_anneal_until=cfg.camera.prd_anneal_until,
+        ray_dist_loss_weight_after=cfg.camera.ray_dist_loss_weight_after,
+        i_ray_dist_loss_after=cfg.camera.i_ray_dist_loss_after,
     )
 
     key = jax.random.key(cfg.logging.seed)
@@ -412,7 +415,7 @@ def train_loop(
         use_prd = (
             exp.step_prd_fn is not None
             and it >= exp.curriculum.add_prd
-            and it % exp.curriculum.i_ray_dist_loss == 0
+            and it % prd_cadence_at(it, exp.curriculum) == 0
         )
         batch = (
             None

@@ -34,7 +34,7 @@ from scnerf_tpu.matching.provider import (
 )
 from scnerf_tpu.render.nerfpp_renderer import NerfPPRenderConfig
 from scnerf_tpu.train.checkpoint import save_checkpoint
-from scnerf_tpu.train.curriculum import Curriculum
+from scnerf_tpu.train.curriculum import Curriculum, prd_cadence_at
 from scnerf_tpu.train.logging_utils import MetricLogger
 from scnerf_tpu.train.nerfpp_step import NerfPPTrainConfig, make_nerfpp_train_step
 from scnerf_tpu.train.optim import make_optimizer
@@ -102,6 +102,9 @@ def build_nerfpp_experiment(cfg: ExperimentConfig, expdir: str | None = None) ->
         add_radial=cfg.camera.add_radial, add_prd=cfg.camera.add_prd,
         i_ray_dist_loss=cfg.camera.i_ray_dist_loss,
         ray_dist_loss_weight=cfg.camera.ray_dist_loss_weight,
+        prd_anneal_until=cfg.camera.prd_anneal_until,
+        ray_dist_loss_weight_after=cfg.camera.ray_dist_loss_weight_after,
+        i_ray_dist_loss_after=cfg.camera.i_ray_dist_loss_after,
     )
 
     key = jax.random.key(cfg.logging.seed)
@@ -280,7 +283,7 @@ def run_nerfpp_training(cfg: ExperimentConfig, expdir: str,
         use_prd = (
             exp.step_prd_fn is not None
             and it >= exp.curriculum.add_prd
-            and it % exp.curriculum.i_ray_dist_loss == 0
+            and it % prd_cadence_at(it, exp.curriculum) == 0
             and exp.pair_list is not None and len(exp.pair_list) > 0
         )
         if not use_prd and exp.device_step is not None:

@@ -206,7 +206,8 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
          add_od_step: int = -1, strong_k: bool = False,
          sift_matches: bool = False, n_train: int = 8,
          prd_weight: float = 1e-4, prd_cadence: int = 10,
-         hires: bool = False):
+         hires: bool = False, add_prd_step: int = -1,
+         prd_until: int = 0):
     preflight()
     assert not (from_scratch and not fisheye), \
         "--from_scratch is the fisheye self-calibration protocol"
@@ -311,6 +312,15 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             cfg.camera.prd_on_fisheye = True
             cfg.camera.prd_undistort = True
             cfg.camera.add_prd = cfg.camera.add_radial
+            if add_prd_step >= 0:
+                # Camera-first alternative to the joint-unfreeze recipe: open
+                # PRD with the ie phase so pose/focal converge FIRST; when
+                # radial opens later the k landscape conditional on a near-GT
+                # camera is the exact oracle one (round-4d). Guards against
+                # the k-leads-camera conditional trap
+                # (docs/calibration_convergence.md round-5c,
+                # K_G_conditionaltrap.json).
+                cfg.camera.add_prd = max(add_prd_step, 1)
             cfg.camera.i_ray_dist_loss = prd_cadence
             # PRD is the ONLY consistent k signal in this regime (the
             # photometric k gradient is transient-dominated at sub-pixel
@@ -318,6 +328,16 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
             # parks wrong-sign and never moves) — the k-recovery protocol
             # raises weight/cadence above the reference defaults.
             cfg.camera.ray_dist_loss_weight = prd_weight
+            if prd_until > 0:
+                # End the CALIBRATION PHASE for the PRD protocol too: leg J
+                # (K_J_annealed_horizon.json) showed that annealing only the
+                # camera-LR mults leaves the hot PRD pushing k past truth
+                # along the rot<->k degenerate valley (k1 exact at 7500,
+                # then monotone overshoot). At prd_until the weight/cadence
+                # return to the published protocol (1e-4, every 10).
+                cfg.camera.prd_anneal_until = prd_until
+                cfg.camera.ray_dist_loss_weight_after = 1e-4
+                cfg.camera.i_ray_dist_loss_after = 10
     if from_scratch:
         # k must traverse from 0 to (-0.12, 0.04). At the default noise
         # scale 1e-2 Adam's ~lr-per-step parameter velocity would need
@@ -496,7 +516,11 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "sift_matches": bool(sift_matches),
         "n_train": int(n_train),
         **({"prd_weight": prd_weight, "prd_cadence": prd_cadence,
-            "add_prd_at": int(cfg.camera.add_prd)} if fisheye_prd else {}),
+            "add_prd_at": int(cfg.camera.add_prd),
+            "prd_anneal_until": int(cfg.camera.prd_anneal_until),
+            "prd_weight_after": cfg.camera.ray_dist_loss_weight_after,
+            "prd_cadence_after": int(cfg.camera.i_ray_dist_loss_after),
+            } if fisheye_prd else {}),
         **({"n_match_pairs": len(exp.match_cache.pairs())}
            if exp.match_cache is not None else {}),
         "scene": "analytic 3-blob field (consistent 3D, scaled into the "
@@ -578,6 +602,13 @@ if __name__ == "__main__":
                          "a denser ring, e.g. 16)")
     ap.add_argument("--prd_weight", type=float, default=1e-4,
                     help="PRD loss weight on the fisheye_prd runs")
+    ap.add_argument("--add_prd_step", type=int, default=-1,
+                    help="decouple PRD from add_radial: open PRD at this step "
+                         "(leg-I camera-first protocol)")
+    ap.add_argument("--prd_until", type=int, default=0,
+                    help="end the PRD calibration phase at this step: "
+                         "weight/cadence return to the published protocol "
+                         "(1e-4, every 10); pair with --mult_until")
     ap.add_argument("--prd_cadence", type=int, default=10,
                     help="PRD step cadence on the fisheye_prd runs")
     ap.add_argument("--hires", action="store_true",
@@ -601,4 +632,5 @@ if __name__ == "__main__":
          fisheye_prd=a.fisheye_prd, add_od_step=a.add_od_step,
          strong_k=a.strong_k, sift_matches=a.sift_matches,
          n_train=a.n_train, prd_weight=a.prd_weight,
-         prd_cadence=a.prd_cadence, hires=a.hires)
+         prd_cadence=a.prd_cadence, hires=a.hires,
+         add_prd_step=a.add_prd_step, prd_until=a.prd_until)

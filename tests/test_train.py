@@ -311,3 +311,42 @@ class TestDeviceSampling:
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestPrdAnneal:
+    """Calibration-phase anneal of the PRD protocol (curriculum.py
+    prd_anneal_until): weight and host cadence return to the published
+    values once the camera has converged. Mechanism measured in
+    docs/artifacts/K_J_annealed_horizon.json (k overshoot past truth under
+    a still-hot PRD after the camera-LR anneal)."""
+
+    def test_prd_active_weight_anneals_at_threshold(self):
+        from scnerf_tpu.train.curriculum import prd_active
+
+        cur = Curriculum(add_prd=10, ray_dist_loss_weight=3e-4,
+                         prd_anneal_until=100,
+                         ray_dist_loss_weight_after=1e-4)
+        w = jax.jit(prd_active, static_argnums=1)
+        assert float(w(jnp.asarray(5), cur)) == 0.0          # pre-add_prd
+        assert float(w(jnp.asarray(50), cur)) == pytest.approx(3e-4)
+        assert float(w(jnp.asarray(99), cur)) == pytest.approx(3e-4)
+        assert float(w(jnp.asarray(100), cur)) == pytest.approx(1e-4)
+        assert float(w(jnp.asarray(5000), cur)) == pytest.approx(1e-4)
+
+    def test_prd_active_no_anneal_by_default(self):
+        from scnerf_tpu.train.curriculum import prd_active
+
+        cur = Curriculum(add_prd=0, ray_dist_loss_weight=2e-4)
+        assert float(prd_active(jnp.asarray(10**9), cur)) == pytest.approx(2e-4)
+
+    def test_prd_cadence_at_switches_host_dispatch(self):
+        from scnerf_tpu.train.curriculum import prd_cadence_at
+
+        cur = Curriculum(i_ray_dist_loss=1, prd_anneal_until=100,
+                         i_ray_dist_loss_after=10)
+        assert prd_cadence_at(0, cur) == 1
+        assert prd_cadence_at(99, cur) == 1
+        assert prd_cadence_at(100, cur) == 10
+        # default: no anneal, cadence constant
+        cur0 = Curriculum(i_ray_dist_loss=7)
+        assert prd_cadence_at(10**6, cur0) == 7
