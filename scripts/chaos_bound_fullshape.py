@@ -45,7 +45,7 @@ REGIMES = {
     "camera": dict(camera=True, autoexpo=False),
     "autoexpo": dict(camera=False, autoexpo=True),
 }
-PERTURB = 1e-7  # relative, ~one f32 ulp
+PERTURB = 1e-7  # relative, ~one f32 ulp (override with --perturb)
 
 
 def perturb_levels(init_levels):
@@ -109,13 +109,20 @@ def run_regime(name: str, n_steps: int) -> dict:
 
 
 def main():
+    global PERTURB
     ap = argparse.ArgumentParser()
     ap.add_argument("--regime", choices=[*REGIMES, "all"], default="all")
     ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--perturb", type=float, default=PERTURB,
+                    help="relative init perturbation; match it to the "
+                         "regime's observed ref-vs-ours step-0 loss rel "
+                         "diff to test whether the parity gap is "
+                         "reachable by chaos alone")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "docs", "artifacts",
                                          "CHAOS_BOUND_FULLSHAPE_NERFPP.json"))
     a = ap.parse_args()
+    PERTURB = a.perturb
     configure_fullshape()
     reports = [run_regime(n, a.steps)
                for n in (list(REGIMES) if a.regime == "all" else [a.regime])]
