@@ -188,6 +188,13 @@ class OptimConfig:
     # A held mult drifts post-convergence (docs/calibration_convergence.md
     # round-4c); 5000 ≈ the measured convergence horizon at mult=8.
     camera_lrate_mult_until: int = 0
+    # Post-anneal HOLD multiplier (default 1.0 = reference-exact): once the
+    # camera is inside the identifiability floor the photometric camera
+    # gradient is valley-floor noise and the camera random-walks at the
+    # shared LR over long horizons (200k soak: focal 1.0%→1.6% between 25k
+    # and 50k); hold < 1 damps the calibration leaves post-convergence
+    # while the PRD anchor keeps them centered (optim._annealed_scale).
+    camera_lrate_mult_hold: float = 1.0
     # EXTENSION: extra update multiplier on the distortion_noise leaf ONLY,
     # composing with camera_lrate_mult (effective k mult = product). The
     # from-scratch fisheye protocol must traverse |k1|=0.12 = 12 noise-units
@@ -195,6 +202,7 @@ class OptimConfig:
     # same Adam velocity (docs/calibration_convergence.md round-4d/4f).
     distortion_lrate_mult: float = 1.0
     distortion_lrate_mult_until: int = 0
+    distortion_lrate_mult_hold: float = 1.0
     N_iters: int = 200_001
     # camera-transfer (reference load_camera/load_test): checkpoint dir to
     # pull calibrated camera fields from; load_test also copies extrinsics.

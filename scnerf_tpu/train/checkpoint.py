@@ -44,8 +44,12 @@ def optim_knobs(cfg) -> dict:
     return {
         "camera_lrate_mult": float(o.camera_lrate_mult),
         "camera_lrate_mult_until": int(o.camera_lrate_mult_until),
+        "camera_lrate_mult_hold": float(
+            getattr(o, "camera_lrate_mult_hold", 1.0)),
         "distortion_lrate_mult": float(o.distortion_lrate_mult),
         "distortion_lrate_mult_until": int(o.distortion_lrate_mult_until),
+        "distortion_lrate_mult_hold": float(
+            getattr(o, "distortion_lrate_mult_hold", 1.0)),
     }
 
 

@@ -212,8 +212,10 @@ def build_experiment(cfg: ExperimentConfig, expdir: str | None = None) -> NerfEx
         params_example=params,
         camera_lr_mult=cfg.optim.camera_lrate_mult,
         camera_lr_mult_until=cfg.optim.camera_lrate_mult_until,
+        camera_lr_mult_hold=cfg.optim.camera_lrate_mult_hold,
         distortion_lr_mult=cfg.optim.distortion_lrate_mult,
         distortion_lr_mult_until=cfg.optim.distortion_lrate_mult_until,
+        distortion_lr_mult_hold=cfg.optim.distortion_lrate_mult_hold,
     )
     state = create_train_state(params, tx)
 

@@ -103,14 +103,27 @@ def distortion_mask(params: Any) -> Any:
     return _camera_mask(params, ("distortion_noise",))
 
 
-def _annealed_scale(mult: float, until: int) -> optax.GradientTransformation:
-    """``optax.scale(mult)`` for the first ``until`` steps, 1.0 after
-    (``until = 0`` holds the multiplier forever)."""
+def _annealed_scale(mult: float, until: int,
+                    hold: float = 1.0) -> optax.GradientTransformation:
+    """``optax.scale(mult)`` for the first ``until`` steps, ``hold`` after
+    (``until = 0`` holds ``mult`` forever; ``hold`` defaults to 1.0 =
+    reference-exact post-anneal).
+
+    ``hold < 1`` is the POST-CONVERGENCE HOLD phase: once the camera is
+    inside the scene's identifiability floor (rot ~0.5 deg / focal ~1%,
+    docs/calibration_convergence.md round-4e) the photometric camera
+    gradient is valley-floor noise the field co-adapts to, and at the
+    shared LR the camera random-walks away from the converged point over
+    long horizons (measured: 200k published-protocol soak drifts focal
+    1.0% @25k -> 1.6% @50k while held-out PSNR keeps improving). Damping
+    the calibration leaves 4-8x below the shared LR keeps the PRD anchor
+    binding without freezing (the reference never freezes either;
+    create_nerf.py:199-336 shares one LR throughout)."""
     if until > 0:
-        def _sched(count, _m=mult, _u=until):
+        def _sched(count, _m=mult, _u=until, _h=hold):
             import jax.numpy as jnp
 
-            return jnp.where(count < _u, _m, 1.0)
+            return jnp.where(count < _u, _m, _h)
 
         return optax.scale_by_schedule(_sched)
     return optax.scale(mult)
@@ -129,8 +142,10 @@ def make_optimizer(
     lr_floor: float = 0.0,
     camera_lr_mult: float = 1.0,
     camera_lr_mult_until: int = 0,
+    camera_lr_mult_hold: float = 1.0,
     distortion_lr_mult: float = 1.0,
     distortion_lr_mult_until: int = 0,
+    distortion_lr_mult_hold: float = 1.0,
 ) -> optax.GradientTransformation:
     """Adam + exp decay + masked L2-in-grad decay + frozen-initials zeroing.
 
@@ -171,15 +186,19 @@ def make_optimizer(
         chain.append(optax.masked(optax.add_decayed_weights(weight_decay), mask))
     chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
     chain.append(optax.scale_by_learning_rate(schedule))
-    if camera_lr_mult != 1.0 and params_example is not None:
+    if ((camera_lr_mult != 1.0 or camera_lr_mult_hold != 1.0)
+            and params_example is not None):
         cmask = camera_pose_mask(params_example)
         chain.append(optax.masked(
-            _annealed_scale(camera_lr_mult, camera_lr_mult_until), cmask))
-    if distortion_lr_mult != 1.0 and params_example is not None:
+            _annealed_scale(camera_lr_mult, camera_lr_mult_until,
+                            camera_lr_mult_hold), cmask))
+    if ((distortion_lr_mult != 1.0 or distortion_lr_mult_hold != 1.0)
+            and params_example is not None):
         # Composes with camera_lr_mult: effective distortion mult = product.
         dmask = distortion_mask(params_example)
         chain.append(optax.masked(
-            _annealed_scale(distortion_lr_mult, distortion_lr_mult_until),
+            _annealed_scale(distortion_lr_mult, distortion_lr_mult_until,
+                            distortion_lr_mult_hold),
             dmask))
     if params_example is not None:
         fmask = frozen_mask(params_example)

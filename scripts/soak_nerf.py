@@ -193,7 +193,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
          small: bool = False, eval_every: int = 1000,
          psnr_gate: float = 25.0, prd_weight: float = 1e-4,
          prd_cadence: int = 10, camera_lr_mult: float = 1.0,
-         camera_lr_until: int = 0,
+         camera_lr_until: int = 0, camera_lr_hold: float = 1.0,
          add_prd: int = 2000, focal_gate: float | None = None,
          rot_gate: float | None = None):
     preflight()
@@ -234,6 +234,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "ray_dist_loss_weight": prd_weight,
         "camera_lrate_mult": camera_lr_mult,
         "camera_lrate_mult_until": camera_lr_until,
+        "camera_lrate_mult_hold": camera_lr_hold,
         "initial_noise_size_intrinsic": NOISE["intrinsic"],
         "initial_noise_size_rotation": NOISE["rotation"],
         "initial_noise_size_translation": NOISE["translation"],
@@ -354,6 +355,7 @@ def main(n_steps: int, out_json: str | None, workdir: str | None,
         "prd_protocol": {"weight": prd_weight, "cadence": prd_cadence,
                          "camera_lr_mult": camera_lr_mult,
                          "camera_lr_until": camera_lr_until,
+                         "camera_lr_hold": camera_lr_hold,
                          "add_prd": add_prd},
         "train_rays_per_sec_incl_compile": round(
             n_steps * cfg.sampling.N_rand / total_dt, 1),
@@ -388,6 +390,10 @@ if __name__ == "__main__":
     ap.add_argument("--prd_weight", type=float, default=1e-4)
     ap.add_argument("--prd_cadence", type=int, default=10)
     ap.add_argument("--camera_lr_mult", type=float, default=1.0)
+    ap.add_argument("--camera_lr_hold", type=float, default=1.0,
+                    help="post-anneal hold multiplier on the calibration "
+                         "leaves (<1 damps the identifiability-floor random "
+                         "walk on long horizons; 1.0 = reference-exact)")
     ap.add_argument("--camera_lr_until", type=int, default=0,
                     help="anneal the mult back to 1.0 after this step "
                          "(0 = hold; held mults drift post-convergence)")
@@ -410,4 +416,5 @@ if __name__ == "__main__":
          psnr_gate=a.psnr_gate, prd_weight=a.prd_weight,
          prd_cadence=a.prd_cadence, camera_lr_mult=a.camera_lr_mult,
          camera_lr_until=a.camera_lr_until,
+         camera_lr_hold=a.camera_lr_hold,
          add_prd=a.add_prd, focal_gate=a.focal_gate, rot_gate=a.rot_gate)

@@ -165,6 +165,30 @@ class TestEndToEnd:
                 np.array(jax.tree.leaves(ua["coarse"])[0]),
                 np.array(jax.tree.leaves(ur["coarse"])[0]))
 
+    def test_camera_lr_mult_hold_damps_after_anneal(self):
+        """camera_lr_mult_hold < 1 sets the POST-anneal multiplier (the
+        identifiability-floor hold phase): mult for the first N steps,
+        hold after — and a bare hold (mult=1) still builds the masked
+        transform so hold-only configs work."""
+        state, _, _ = build()
+        params = state.params
+        grads = jax.tree.map(jnp.ones_like, params)
+        tx_h = make_optimizer(1e-3, 1e9, params_example=params,
+                              camera_lr_mult=4.0, camera_lr_mult_until=2,
+                              camera_lr_mult_hold=0.25)
+        tx_ref = make_optimizer(1e-3, 1e9, params_example=params)
+        os_h, os_r = tx_h.init(params), tx_ref.init(params)
+        for i in range(4):
+            uh, os_h = tx_h.update(grads, os_h, params)
+            ur, os_r = tx_ref.update(grads, os_r, params)
+            ih = np.array(uh["camera"].intrinsics_noise)
+            ir = np.array(ur["camera"].intrinsics_noise)
+            expect = 4.0 if i < 2 else 0.25
+            np.testing.assert_allclose(ih, expect * ir, rtol=1e-6)
+            np.testing.assert_array_equal(
+                np.array(jax.tree.leaves(uh["coarse"])[0]),
+                np.array(jax.tree.leaves(ur["coarse"])[0]))
+
     def test_distortion_lr_mult_composes_on_k_only(self):
         """distortion_lr_mult scales ONLY distortion_noise, multiplying on
         top of camera_lr_mult (the from-scratch k-velocity fix: |k1| is 12
